@@ -1,0 +1,220 @@
+"""Building-block modules for SAUNet, NHWC / flax.
+
+Capability map to the reference (cited per class):
+  SEModule             <- /root/reference/models/attention_blocks.py:28-57
+  SpatialAttentionBlock<- /root/reference/models/attention_blocks.py:145-173
+  MRFUp + DualAttBlock <- /root/reference/models/attention_blocks.py:175-238
+  ResBasicBlock        <- /root/reference/models/resnet.py:30-59
+  GatedSpatialConv     <- /root/reference/models/GSConv.py:16-62
+  DecoderBlock         <- /root/reference/models/models.py:203-237
+  conv3x3_bn_relu      <- /root/reference/models/models.py:118-123
+
+TPU-first notes: everything is NHWC so channels ride the 128-lane dimension;
+convs hit the MXU; BatchNorm under SPMD jit computes *global*-batch statistics
+(the whole SynchronizedBatchNorm machinery of
+/root/reference/lib/nn/modules/{batchnorm,comm,replicate}.py collapses to
+nothing — the compiler inserts the cross-device reductions).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Kaiming-normal fan-out: normal(0, sqrt(2 / (k*k*out))) — the init the
+# reference applies to every conv in its blocks.
+kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+xavier_normal = nn.initializers.glorot_normal()
+
+Dtype = Any
+
+
+class ConvBNRelu(nn.Module):
+    """Conv -> BatchNorm -> ReLU."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="SAME",
+            kernel_init=kaiming_normal_out, dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+        return self.act(x)
+
+
+class SEModule(nn.Module):
+    """Squeeze-and-excite channel attention: global avgpool -> 1x1 reduce ->
+    ReLU -> 1x1 expand -> sigmoid -> scale."""
+    channels: int
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.channels // self.reduction, (1, 1),
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="fc1")(s)
+        s = self.act(s)
+        s = nn.Conv(self.channels, (1, 1), kernel_init=kaiming_normal_out,
+                    dtype=self.dtype, name="fc2")(s)
+        return x * nn.sigmoid(s)
+
+
+class SpatialAttentionBlock(nn.Module):
+    """1x1 down-proj -> BN -> ReLU -> 1x1 to one channel -> sigmoid gate.
+
+    Returns the (N, H, W, 1) attention map. The reference's softmax path is
+    dead code (normalize_attn=False default; see SURVEY.md §2.7) and is not
+    reproduced.
+    """
+    attn_features: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = nn.Conv(self.attn_features, (1, 1), use_bias=False,
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="down")(x)
+        c = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(c)
+        c = self.act(c)
+        c = nn.Conv(1, (1, 1), use_bias=True,
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="phi")(c)
+        return nn.sigmoid(c)
+
+
+class ConvTransposeBNRelu(nn.Module):
+    """ConvTranspose(k=4, s=2, p=1) exact 2x upsampler -> BN -> ReLU."""
+    features: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.ConvTranspose(
+            self.features, (4, 4), strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            kernel_init=kaiming_normal_out, dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
+        return self.act(x)
+
+
+class DualAttBlock(nn.Module):
+    """Decoder fusion block: upsample coarse, concat skip, 3x3 conv-BN-ReLU,
+    then out = SE(x) * (1 + spatial(x)). Returns (out, spatial_map)."""
+    outchannels: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = True):
+        if len(inputs) == 2:
+            coarse, skip = inputs
+            up = ConvTransposeBNRelu(coarse.shape[-1], dtype=self.dtype,
+                                     act=self.act, name="mrf_up")(coarse, train)
+            fused = jnp.concatenate([skip, up], axis=-1)
+        else:
+            fused = inputs[0]
+        fused = nn.Conv(self.outchannels, (3, 3), padding="SAME",
+                        kernel_init=kaiming_normal_out, dtype=self.dtype,
+                        name="c3x3")(fused)
+        fused = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(fused)
+        fused = self.act(fused)
+        spatial = SpatialAttentionBlock(self.outchannels // 4,
+                                        dtype=self.dtype, act=self.act,
+                                        name="spatialAttn")(fused, train)
+        channel = SEModule(self.outchannels, 16, dtype=self.dtype,
+                           act=self.act, name="channelAttn")(fused)
+        out = channel * (spatial + 1.0)
+        return out, spatial
+
+
+class ResBasicBlock(nn.Module):
+    """ResNet BasicBlock (stride 1, no downsample) — the shape-stream
+    residual unit."""
+    planes: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        residual = x
+        out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
+                      kernel_init=kaiming_normal_out, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = self.act(out)
+        out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
+                      kernel_init=kaiming_normal_out, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        return self.act(out + residual)
+
+
+class GatedSpatialConv(nn.Module):
+    """Shape-stream gate: alpha = gate_net(cat(shape_feat, texture_cue));
+    out = conv1x1(shape_feat * (1 + alpha)). Returns (out, alpha)."""
+    features: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, input_features, gating_features, train: bool = True):
+        cat = jnp.concatenate([input_features, gating_features], axis=-1)
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="gate_bn1")(cat)
+        g = nn.Conv(cat.shape[-1], (1, 1), kernel_init=kaiming_normal_out,
+                    dtype=self.dtype, name="gate_conv1")(g)
+        g = self.act(g)
+        g = nn.Conv(1, (1, 1), kernel_init=kaiming_normal_out,
+                    dtype=self.dtype, name="gate_conv2")(g)
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="gate_bn2")(g)
+        alpha = nn.sigmoid(g)
+        out = nn.Conv(self.features, (1, 1), use_bias=False,
+                      kernel_init=xavier_normal, dtype=self.dtype,
+                      name="conv")(input_features * (alpha + 1.0))
+        return out, alpha
+
+
+class DecoderBlock(nn.Module):
+    """conv3x3-BN-ReLU -> ConvTranspose 2x -> BN -> ReLU."""
+    middle_channels: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvBNRelu(self.middle_channels, 3, dtype=self.dtype,
+                       act=self.act, name="conv")(x, train)
+        x = ConvTransposeBNRelu(self.out_channels, dtype=self.dtype,
+                                act=self.act, name="up")(x, train)
+        return x
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))

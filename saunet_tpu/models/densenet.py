@@ -1,0 +1,193 @@
+"""DenseNet-121 feature encoder, native JAX/flax (NHWC).
+
+The reference uses torchvision's pretrained densenet121 and taps its internal
+features (/root/reference/models/models.py:271,304-313), with two quirks this
+module reproduces exactly:
+  * `pool0` is dropped and `relu0` is skipped — stage 1 is conv0+norm0 only,
+    so denseblock1 runs at H/2 (128² for 256² inputs), not H/4.
+  * `conv5` taps denseblock4+norm5 *without* a trailing ReLU.
+
+Feature taps (256² input): f1 64ch@128², f2 128ch@64², f3 256ch@32²,
+f4 512ch@16², f5 1024ch@16² — the resolution table of SURVEY.md §3.3.
+
+Pretrained weights: zero-egress environment, so `pretrained` loads from a
+local numpy archive if provided (see `port_torchvision_state_dict` for the
+torchvision name mapping) and falls back to Kaiming init otherwise. This is a
+documented deviation from the reference's unconditional download.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import kaiming_normal_out
+
+Dtype = Any
+
+DENSENET121_BLOCKS = (6, 12, 24, 16)
+GROWTH_RATE = 32
+BN_SIZE = 4
+NUM_INIT_FEATURES = 64
+
+
+class DenseLayer(nn.Module):
+    """BN-ReLU-Conv1x1(bn_size*k) -> BN-ReLU-Conv3x3(k); returns new features
+    to concatenate."""
+    growth_rate: int = GROWTH_RATE
+    bn_size: int = BN_SIZE
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = self.act(h)
+        h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = self.act(h)
+        h = nn.Conv(self.growth_rate, (3, 3), padding="SAME", use_bias=False,
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="conv2")(h)
+        return h
+
+
+class DenseBlock(nn.Module):
+    num_layers: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(self.num_layers):
+            new = DenseLayer(dtype=self.dtype, act=self.act,
+                             name=f"denselayer{i + 1}")(x, train)
+            x = jnp.concatenate([x, new], axis=-1)
+        return x
+
+
+class Transition(nn.Module):
+    """BN-ReLU-Conv1x1(out) -> AvgPool 2x2."""
+    out_features: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = self.act(x)
+        x = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class DenseNetEncoder(nn.Module):
+    """DenseNet-121 trunk exposing the five SAUNet feature taps."""
+    block_config: Sequence[int] = DENSENET121_BLOCKS
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
+        # Stage 1: conv0 (7x7/2) + norm0.  NO relu0 / pool0 (SAUNet drops
+        # them: /root/reference/models/models.py:304-305).
+        f1 = nn.Conv(NUM_INIT_FEATURES, (7, 7), strides=(2, 2),
+                     padding=((3, 3), (3, 3)), use_bias=False,
+                     kernel_init=kaiming_normal_out, dtype=self.dtype,
+                     name="conv0")(x)
+        f1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="norm0")(f1)
+
+        features = NUM_INIT_FEATURES
+        h = f1
+        taps = []
+        for i, num_layers in enumerate(self.block_config):
+            h = DenseBlock(num_layers, dtype=self.dtype, act=self.act,
+                           name=f"denseblock{i + 1}")(h, train)
+            features += num_layers * GROWTH_RATE
+            if i != len(self.block_config) - 1:
+                features = features // 2
+                h = Transition(features, dtype=self.dtype, act=self.act,
+                               name=f"transition{i + 1}")(h, train)
+                taps.append(h)
+        # norm5 after denseblock4, no trailing ReLU
+        f5 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="norm5")(h)
+        f2, f3, f4 = taps
+        return f1, f2, f3, f4, f5
+
+
+def port_torchvision_state_dict(state_dict) -> dict:
+    """Map a torchvision densenet121 `state_dict` (name -> numpy array, OIHW
+    conv kernels) onto this encoder's {'params', 'batch_stats'} pytrees.
+
+    Accepts the `features.*` naming of torchvision
+    (conv0/norm0/denseblockN.denselayerM.{norm,conv}{1,2}/transitionN/norm5).
+    The classifier head is ignored — SAUNet never uses it.
+    """
+    import numpy as np
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv_w(v):
+        return np.transpose(np.asarray(v), (2, 3, 1, 0))  # OIHW -> HWIO
+
+    for name, v in state_dict.items():
+        if not name.startswith("features."):
+            continue
+        parts = name[len("features."):].split(".")
+        v = np.asarray(v)
+        if parts[0].startswith("conv"):  # conv0
+            put(params, (parts[0], "kernel"), conv_w(v))
+        elif parts[0].startswith("norm") and len(parts) == 2:  # norm0/norm5
+            mod, field = parts
+            if field == "weight":
+                put(params, (mod, "scale"), v)
+            elif field == "bias":
+                put(params, (mod, "bias"), v)
+            elif field == "running_mean":
+                put(stats, (mod, "mean"), v)
+            elif field == "running_var":
+                put(stats, (mod, "var"), v)
+        elif parts[0].startswith("denseblock"):
+            block, layer, mod, field = parts
+            path_prefix = (block, layer)
+            if mod.startswith("conv") and field == "weight":
+                put(params, path_prefix + (mod, "kernel"), conv_w(v))
+            elif mod.startswith("norm"):
+                if field == "weight":
+                    put(params, path_prefix + (mod, "scale"), v)
+                elif field == "bias":
+                    put(params, path_prefix + (mod, "bias"), v)
+                elif field == "running_mean":
+                    put(stats, path_prefix + (mod, "mean"), v)
+                elif field == "running_var":
+                    put(stats, path_prefix + (mod, "var"), v)
+        elif parts[0].startswith("transition"):
+            block, mod, field = parts
+            if mod == "conv" and field == "weight":
+                put(params, (block, mod, "kernel"), conv_w(v))
+            elif mod == "norm":
+                if field == "weight":
+                    put(params, (block, mod, "scale"), v)
+                elif field == "bias":
+                    put(params, (block, mod, "bias"), v)
+                elif field == "running_mean":
+                    put(stats, (block, mod, "mean"), v)
+                elif field == "running_var":
+                    put(stats, (block, mod, "var"), v)
+    return {"params": params, "batch_stats": stats}

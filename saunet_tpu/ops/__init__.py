@@ -1,0 +1,2 @@
+from .resize import resize_bilinear, resize_nearest
+from .edge import canny_edges, image_to_gray255

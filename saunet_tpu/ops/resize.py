@@ -1,0 +1,101 @@
+"""Bilinear resize with align_corners=True semantics, as matrix products.
+
+The reference model uses `F.interpolate(..., mode='bilinear',
+align_corners=True)` pervasively (/root/reference/models/models.py:337-389).
+`jax.image.resize` implements half-pixel (align_corners=False) sampling, so we
+build the exact align-corners operator ourselves.
+
+TPU-first design: a separable 1-D linear interpolation is a matrix with at most
+two non-zeros per row. Instead of gathers (lane-hostile on TPU), we materialise
+the two interpolation matrices A_h (H_out, H_in) and A_w (W_out, W_in) and
+compute `out = A_h @ x @ A_w^T` with einsums — this runs on the MXU, fuses with
+surrounding ops, and is exact. The matrices are computed at trace time from
+static shapes and folded into the program as constants.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool = True):
+    """(out_size, in_size) row-stochastic linear interpolation matrix."""
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float32)
+    if out_size == 1:
+        m = np.zeros((1, in_size), dtype=np.float32)
+        m[0, 0] = 1.0
+        return m
+    if align_corners:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = np.maximum((np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5, 0.0)
+        src = np.minimum(src, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = src - lo
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - frac)
+    np.add.at(m, (rows, hi), frac)
+    return m
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.ndarray:
+    """Resize NHWC (or HWC / HW) `x` to spatial size `out_hw`.
+
+    Exactly matches torch's `F.interpolate(mode='bilinear',
+    align_corners=True)` when `align_corners=True`.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    squeeze = []
+    if x.ndim == 2:
+        x = x[None, :, :, None]
+        squeeze = [0, -1]
+    elif x.ndim == 3:
+        x = x[None]
+        squeeze = [0]
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        out = x
+    else:
+        # float32 accumulation with HIGHEST precision: interpolation weights
+        # must not be bf16-rounded on the MXU.
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        if h != out_h:
+            ah = jnp.asarray(_interp_matrix(h, out_h, align_corners))
+            xf = jnp.einsum("Oh,nhwc->nOwc", ah, xf,
+                            precision=jax.lax.Precision.HIGHEST)
+        if w != out_w:
+            aw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
+            xf = jnp.einsum("Ow,nhwc->nhOc", aw, xf,
+                            precision=jax.lax.Precision.HIGHEST)
+        out = xf.astype(dtype)
+    for ax in squeeze:
+        out = jnp.squeeze(out, axis=ax)
+    return out
+
+
+def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Nearest-neighbour resize for label maps (NHWC / HWC / HW)."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    squeeze = []
+    if x.ndim == 2:
+        x = x[None, :, :, None]
+        squeeze = [0, -1]
+    elif x.ndim == 3:
+        x = x[None]
+        squeeze = [0]
+    n, h, w, c = x.shape
+    rows = jnp.asarray(np.minimum((np.arange(out_h) * h) // out_h, h - 1))
+    cols = jnp.asarray(np.minimum((np.arange(out_w) * w) // out_w, w - 1))
+    out = x[:, rows][:, :, cols]
+    for ax in squeeze:
+        out = jnp.squeeze(out, axis=ax)
+    return out

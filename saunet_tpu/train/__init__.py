@@ -1,0 +1,23 @@
+from .losses import (
+    DEFAULT_CLASS_WEIGHTS,
+    dice_loss,
+    dual_loss,
+    edge_attention_loss,
+    edge_bce,
+    weighted_cross_entropy,
+)
+from .metrics import dice_coefficient, intersection_and_union, pixel_acc
+from .optim import (
+    cosine_epoch_schedule,
+    create_optimizer,
+    decay_mask,
+    radam,
+    scale_by_radam,
+)
+from .state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_infer_step,
+    make_train_step,
+)

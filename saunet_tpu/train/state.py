@@ -1,0 +1,140 @@
+"""Train state and SPMD train/eval steps.
+
+This is the TPU-native replacement for the reference's SegmentationModule +
+epoch driver hot loop (/root/reference/models/models.py:80-109,
+/root/reference/train.py:67-150): one jit-compiled
+`train_step(state, batch) -> (state, metrics)` containing forward, dual-task
+loss, in-graph metrics, backward, and the optimizer update. Under a
+('data','space') mesh the same program is data-parallel: batch arrays are
+sharded, parameters replicated, and XLA inserts the gradient/batch-norm
+reductions over ICI (no DataParallel object, no replica callbacks, no
+streams).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .losses import DEFAULT_CLASS_WEIGHTS, dual_loss
+from .metrics import pixel_acc
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    def replace_(self, **kw):
+        return self.replace(**kw)
+
+
+def create_train_state(model, tx: optax.GradientTransformation, rng,
+                       input_shape=(1, 256, 256, 3)) -> TrainState:
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32),
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    num_class: int = 4,
+                    class_weights=DEFAULT_CLASS_WEIGHTS,
+                    augment_fn: Optional[Callable] = None,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    If `augment_fn(rng, batch) -> batch` is given, on-device augmentation is
+    fused into the same compiled program as the forward/backward pass — the
+    TPU-first replacement for the reference's host-side PIL/scipy
+    augmentation workers.
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        (seg, edge), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"],
+        )
+        total, parts = dual_loss(seg, edge, batch["label"], batch["edge"],
+                                 class_weights)
+        return total, (mut["batch_stats"], seg, parts)
+
+    def step_fn(state: TrainState, batch: dict, rng) -> Tuple[TrainState, dict]:
+        if augment_fn is not None:
+            batch = augment_fn(rng, batch)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, seg, parts)), grads = grad_fn(
+            state.params, state.batch_stats, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        preds = jnp.argmax(seg, axis=-1)
+        acc, jaccard = pixel_acc(preds, batch["label"], num_class)
+        metrics = dict(parts)
+        metrics["acc"] = acc
+        metrics["jaccard"] = jaccard
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, num_class: int = 4,
+                   class_weights=DEFAULT_CLASS_WEIGHTS):
+    """Jitted eval step: softmax probs + loss + in-graph IoU ingredients.
+
+    Replaces the reference's per-sample python eval loop
+    (/root/reference/train.py:25-64) — slices are batched and metrics are
+    computed on-device.
+    """
+
+    def step_fn(state: TrainState, batch: dict):
+        seg, edge = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False,
+        )
+        total, parts = dual_loss(seg, edge, batch["label"], batch["edge"],
+                                 class_weights)
+        probs = jax.nn.softmax(seg, axis=-1)
+        preds = jnp.argmax(seg, axis=-1)
+        acc, jaccard = pixel_acc(preds, batch["label"], num_class)
+        metrics = dict(parts)
+        metrics["acc"] = acc
+        metrics["jaccard"] = jaccard
+        return probs, preds, metrics
+
+    return jax.jit(step_fn)
+
+
+def make_infer_step(model):
+    """Jitted inference: (probs, preds) from images only — the
+    test_and_pack forward path, batched over z-slices."""
+
+    def step_fn(state: TrainState, images):
+        seg, edge = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False,
+        )
+        probs = jax.nn.softmax(seg, axis=-1)
+        return probs, jnp.argmax(seg, axis=-1), edge
+
+    return jax.jit(step_fn)
