@@ -1,0 +1,82 @@
+"""Benchmark: SAUNet train-step throughput (slices/sec/chip) at 224².
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the denominator is a
+measured PyTorch CPU baseline of the same architecture and step
+(tools/torch_baseline.py), cached in baseline_torch.json. If the cache is
+missing, vs_baseline falls back to 1.0 with a note on stderr.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from saunet_tpu.models import SAUNet
+    from saunet_tpu.train import create_train_state, make_train_step, radam
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    hw = int(os.environ.get("BENCH_HW", "224"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    model = SAUNet(num_classes=4, dtype=jnp.bfloat16)
+    tx = radam(1e-4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, hw, hw, 3))
+    step = make_train_step(model, tx, donate=False)
+
+    rs = np.random.RandomState(0)
+    b = {
+        "image": jnp.asarray(rs.randn(batch, hw, hw, 3).astype(np.float32)),
+        "label": jnp.asarray(
+            rs.randint(0, 4, size=(batch, hw, hw)).astype(np.int32)),
+        "edge": jnp.asarray(
+            (rs.rand(batch, hw, hw, 1) > 0.8).astype(np.float32)),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, metrics = step(state, b, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, b, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    slices_per_sec = batch * steps / dt
+
+    baseline_path = os.path.join(os.path.dirname(__file__),
+                                 "baseline_torch.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get("train_slices_per_sec")
+        if ref:
+            vs_baseline = slices_per_sec / ref
+    else:
+        print("bench: baseline_torch.json missing; vs_baseline=1.0",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"SAUNet train slices/sec/chip @{hw}² bf16 batch {batch}",
+        "value": round(slices_per_sec, 2),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,9 +105,10 @@ class ConvTransposeBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # 'SAME' with k=4/s=2 gives the exact 2x output size of torch's
+        # ConvTranspose2d(kernel=4, stride=2, padding=1).
         x = nn.ConvTranspose(
-            self.features, (4, 4), strides=(2, 2),
-            padding=((1, 1), (1, 1)),
+            self.features, (4, 4), strides=(2, 2), padding="SAME",
             kernel_init=kaiming_normal_out, dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -54,8 +54,12 @@ def dice_loss(labels: jnp.ndarray, logits: jnp.ndarray,
 
 
 def edge_bce(edge_probs: jnp.ndarray, edge_targets: jnp.ndarray,
-             eps: float = 1e-12) -> jnp.ndarray:
-    """Mean binary cross-entropy on probabilities (post-sigmoid)."""
+             eps: float = 1e-7) -> jnp.ndarray:
+    """Mean binary cross-entropy on probabilities (post-sigmoid).
+
+    eps must stay representable next to 1.0 in float32 (1 - 1e-12 == 1.0
+    would make the clip a no-op and log(0) = -inf); torch's BCELoss clamps
+    log terms at -100 for the same reason."""
     p = jnp.clip(edge_probs.astype(jnp.float32), eps, 1.0 - eps)
     t = edge_targets.astype(jnp.float32)
     return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
