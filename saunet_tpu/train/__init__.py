@@ -14,6 +14,12 @@ from .optim import (
     radam,
     scale_by_radam,
 )
+from .checkpoint import (
+    BestIoUPolicy,
+    restore_checkpoint,
+    restore_params_only,
+    save_checkpoint,
+)
 from .state import (
     TrainState,
     create_train_state,
