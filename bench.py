@@ -22,6 +22,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the remote-compile tunnel in this environment
+    # is slow (minutes per program); cache across runs/rounds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from saunet_tpu.models import SAUNet
     from saunet_tpu.train import create_train_state, make_train_step, radam
 
@@ -32,7 +42,8 @@ def main():
     model = SAUNet(num_classes=4, dtype=jnp.bfloat16)
     tx = radam(1e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               input_shape=(1, hw, hw, 3))
+                               input_shape=(1, hw, hw, 3),
+                               init_on_cpu=True)
     step = make_train_step(model, tx, donate=False)
 
     rs = np.random.RandomState(0)

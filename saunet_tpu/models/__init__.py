@@ -14,12 +14,25 @@ from .blocks import (
     DecoderBlock,
     DualAttBlock,
     GatedSpatialConv,
+    HighFrequencyGatedSpatialConv,
     ResBasicBlock,
+    SEBottleneck,
     SEModule,
+    SEResNetBottleneck,
     SpatialAttentionBlock,
 )
 from .densenet import DenseNetEncoder, port_torchvision_state_dict
+from .resnet import (
+    BasicBlockStride,
+    BottleneckBlock,
+    ResNet,
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
+)
 from .saunet import SAUNet
+from .segmentation_module import SegmentationModule
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
@@ -33,7 +46,11 @@ def build_unet(num_class: int = 4, arch: str = "saunet",
 
 
 __all__ = [
-    "SAUNet", "build_unet", "DenseNetEncoder", "port_torchvision_state_dict",
+    "SAUNet", "SegmentationModule", "build_unet", "DenseNetEncoder",
+    "port_torchvision_state_dict",
     "ConvBNRelu", "DecoderBlock", "DualAttBlock", "GatedSpatialConv",
-    "ResBasicBlock", "SEModule", "SpatialAttentionBlock",
+    "HighFrequencyGatedSpatialConv", "ResBasicBlock", "SEBottleneck",
+    "SEModule", "SEResNetBottleneck", "SpatialAttentionBlock",
+    "BasicBlockStride", "BottleneckBlock", "ResNet",
+    "resnet18", "resnet34", "resnet50", "resnet101",
 ]

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -195,6 +196,148 @@ class GatedSpatialConv(nn.Module):
                       kernel_init=xavier_normal, dtype=self.dtype,
                       name="conv")(input_features * (alpha + 1.0))
         return out, alpha
+
+
+class SEBottleneck(nn.Module):
+    """SENet-154-style bottleneck with squeeze-excite before the residual
+    add (inventory parity: attention_blocks.py:85-107; unused by SAUNet)."""
+    planes: int
+    groups: int = 1
+    reduction: int = 16
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        residual = x
+        out = nn.Conv(self.planes * 2, (1, 1), use_bias=False,
+                      kernel_init=kaiming_normal_out, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = self.act(out)
+        out = nn.Conv(self.planes * 4, (3, 3), strides=(self.stride,) * 2,
+                      padding="SAME", feature_group_count=self.groups,
+                      use_bias=False, kernel_init=kaiming_normal_out,
+                      dtype=self.dtype, name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = self.act(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      kernel_init=kaiming_normal_out, dtype=self.dtype,
+                      name="conv3")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               kernel_init=kaiming_normal_out,
+                               dtype=self.dtype, name="down_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype,
+                                    name="down_bn")(residual)
+        out = SEModule(self.planes * 4, self.reduction, dtype=self.dtype,
+                       act=self.act, name="se_module")(out)
+        return self.act(out + residual)
+
+
+class SEResNetBottleneck(nn.Module):
+    """Caffe-style SE-ResNet bottleneck (stride in conv1; inventory parity:
+    attention_blocks.py:110-142; unused by SAUNet)."""
+    planes: int
+    groups: int = 1
+    reduction: int = 16
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                      use_bias=False, kernel_init=kaiming_normal_out,
+                      dtype=self.dtype, name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = self.act(out)
+        out = nn.Conv(self.planes, (3, 3), padding="SAME",
+                      feature_group_count=self.groups, use_bias=False,
+                      kernel_init=kaiming_normal_out, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = self.act(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      kernel_init=kaiming_normal_out, dtype=self.dtype,
+                      name="conv3")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               kernel_init=kaiming_normal_out,
+                               dtype=self.dtype, name="down_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype,
+                                    name="down_bn")(residual)
+        out = SEModule(self.planes * 4, self.reduction, dtype=self.dtype,
+                       act=self.act, name="se_module")(out)
+        return self.act(out + residual)
+
+
+def _gaussian_kernel7(sigma: float = 3.0):
+    import numpy as np
+    k = 7
+    ax = np.arange(k, dtype=np.float64)
+    gx = np.exp(-((ax - (k - 1) / 2.0) ** 2) / (2 * sigma ** 2))
+    kern = np.outer(gx, gx)
+    return (kern / kern.sum()).astype("float32")
+
+
+class HighFrequencyGatedSpatialConv(nn.Module):
+    """Difference-of-Gaussian variant of the shape-stream gate (inventory
+    parity: GSConv.py:69-158; unused by SAUNet): a frozen 7x7 Gaussian
+    (sigma=3) depthwise blur extracts high-frequency detail which is gated
+    like GatedSpatialConv."""
+    features: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, input_features, gating_features, train: bool = True):
+        c = input_features.shape[-1]
+        g7 = jnp.asarray(_gaussian_kernel7())
+        kern = jnp.tile(g7[:, :, None, None], (1, 1, 1, c)).astype(self.dtype)
+        smooth = jax.lax.conv_general_dilated(
+            input_features.astype(self.dtype), kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+        dog = input_features - smooth
+        dog = nn.Conv(c, (1, 1), kernel_init=kaiming_normal_out,
+                      dtype=self.dtype, name="cw")(
+                          jnp.concatenate([dog, input_features], axis=-1))
+
+        cat = jnp.concatenate([input_features, gating_features], axis=-1)
+        gte = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           name="gate_bn1")(cat)
+        gte = nn.Conv(cat.shape[-1], (1, 1), kernel_init=kaiming_normal_out,
+                      dtype=self.dtype, name="gate_conv1")(gte)
+        gte = self.act(gte)
+        gte = nn.Conv(1, (1, 1), kernel_init=kaiming_normal_out,
+                      dtype=self.dtype, name="gate_conv2")(gte)
+        gte = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           name="gate_bn2")(gte)
+        alpha = nn.sigmoid(gte)
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       kernel_init=xavier_normal, dtype=self.dtype,
+                       name="conv")(dog * (alpha + 1.0))
 
 
 class DecoderBlock(nn.Module):

@@ -46,6 +46,17 @@ class SAUNet(nn.Module):
     # Edge operator thresholds (cv2.Canny(10, 100) in the reference).
     canny_low: float = 10.0
     canny_high: float = 100.0
+    # 'auto': fused Pallas kernel on TPU, XLA ops elsewhere.
+    edge_kernel: str = "auto"
+
+    def _canny(self, gray):
+        use_pallas = self.edge_kernel == "pallas" or (
+            self.edge_kernel == "auto"
+            and jax.default_backend() not in ("cpu", "gpu"))
+        if use_pallas:
+            from ..ops.pallas.canny import canny_edges_pallas
+            return canny_edges_pallas(gray, self.canny_low, self.canny_high)
+        return canny_edges(gray, self.canny_low, self.canny_high)
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_att: bool = False):
@@ -93,9 +104,7 @@ class SAUNet(nn.Module):
 
         # --- On-device edge detection (replaces CPU Canny) ---------------
         gray = image_to_gray255(x)
-        canny = jax.lax.stop_gradient(
-            canny_edges(gray, self.canny_low, self.canny_high)
-        ).astype(dt)
+        canny = jax.lax.stop_gradient(self._canny(gray)).astype(dt)
 
         cat = jnp.concatenate([edge_out.astype(dt), canny], axis=-1)
         acts = nn.Conv(1, (1, 1), use_bias=False,

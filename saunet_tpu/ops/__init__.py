@@ -1,2 +1,3 @@
 from .resize import resize_bilinear, resize_nearest
 from .edge import canny_edges, image_to_gray255
+from .pooling import adaptive_pool2d, pooling_factor

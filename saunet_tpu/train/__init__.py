@@ -4,13 +4,17 @@ from .losses import (
     dual_loss,
     edge_attention_loss,
     edge_bce,
+    image_based_cross_entropy,
+    label_smooth_softmax_ce,
     weighted_cross_entropy,
 )
 from .metrics import dice_coefficient, intersection_and_union, pixel_acc
 from .optim import (
+    adamw,
     cosine_epoch_schedule,
     create_optimizer,
     decay_mask,
+    plain_radam,
     radam,
     scale_by_radam,
 )

@@ -82,6 +82,70 @@ def dual_loss(
     return total, {"loss": total, "ce": ce, "dice": dice, "edge": edge}
 
 
+def image_based_cross_entropy(
+    logits: jnp.ndarray,  # (N, H, W, C)
+    labels: jnp.ndarray,  # (N, H, W)
+    upper_bound: float = 1.0,
+    norm: bool = False,
+    batch_weights: bool = False,
+) -> jnp.ndarray:
+    """Histogram-weighted CE (the reference's dormant
+    ImageBasedCrossEntropyLoss2d, /root/reference/loss.py:7-41): per-image
+    (or per-batch) class frequencies reweight the NLL — rare classes count
+    more. Fully in-graph (the reference round-trips numpy histograms)."""
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    labels = labels.astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    axes = (0, 1, 2) if batch_weights else (1, 2)
+    hist = jnp.sum(one_hot, axis=axes)
+    hist = hist / jnp.sum(hist, axis=-1, keepdims=True)
+    if norm:
+        w = jnp.where(hist > 0, upper_bound / jnp.maximum(hist, 1e-12),
+                      0.0) + 1.0
+    else:
+        w = jnp.where(hist > 0, upper_bound * (1.0 - hist), 0.0) + 1.0
+    if batch_weights:
+        pix_w = w[labels]
+    else:
+        pix_w = jnp.take_along_axis(
+            w[:, None, None, :], labels[..., None], axis=-1)[..., 0]
+    # reference: per-image NLLLoss means over pixels, images summed
+    per_img = (jnp.sum(pix_w * nll, axis=(1, 2))
+               / jnp.maximum(jnp.sum(pix_w, axis=(1, 2)), 1e-12))
+    return jnp.sum(per_img)
+
+
+def label_smooth_softmax_ce(
+    logits: jnp.ndarray,   # (N, H, W, C)
+    labels: jnp.ndarray,   # (N, H, W)
+    lb_pos: float = 0.9,
+    lb_neg: float = 0.005,
+    reduction: str = "mean",
+    lb_ignore: int = -1,
+) -> jnp.ndarray:
+    """Label-smoothed softmax CE (the reference's dormant
+    LabelSmoothSoftmaxCE, /root/reference/loss.py:90-121)."""
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    logs = jax.nn.log_softmax(logits, axis=-1)
+    ignore = labels == lb_ignore
+    labels_safe = jnp.where(ignore, 0, labels).astype(jnp.int32)
+    one_hot = jax.nn.one_hot(labels_safe, num_classes, dtype=jnp.float32)
+    smoothed = lb_pos * one_hot + lb_neg * (1.0 - one_hot)
+    loss = -jnp.sum(logs * smoothed, axis=-1)
+    loss = jnp.where(ignore, 0.0, loss)
+    if reduction == "mean":
+        n_valid = jnp.maximum(jnp.sum(~ignore), 1)
+        return jnp.sum(loss) / n_valid
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
 def edge_attention_loss(seg_logits, seg_targets, edge_probs,
                         threshold: float = 0.8,
                         class_weights=DEFAULT_CLASS_WEIGHTS):

@@ -94,6 +94,31 @@ def radam(learning_rate, b1: float = 0.9, b2: float = 0.999,
     return optax.chain(*chain)
 
 
+def plain_radam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-8, weight_decay: float = 0.0,
+                weight_decay_mask=None) -> optax.GradientTransformation:
+    """Un-buffered RAdam (the reference's PlainRAdam,
+    /root/reference/radam.py:80-142 — whose broken super() call,
+    SURVEY.md §2.7, is naturally not reproduced). Under jit the buffered and
+    plain variants compile to the same program, so this is an alias with
+    independent identity for API parity."""
+    return radam(learning_rate, b1=b1, b2=b2, eps=eps,
+                 weight_decay=weight_decay,
+                 weight_decay_mask=weight_decay_mask)
+
+
+def adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
+          eps: float = 1e-8, weight_decay: float = 1e-2,
+          weight_decay_mask=None) -> optax.GradientTransformation:
+    """Decoupled-weight-decay Adam (the reference's AdamW,
+    /root/reference/radam.py:145-207 — its undefined `amsgrad` bug not
+    reproduced)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay, mask=weight_decay_mask),
+        optax.adam(learning_rate, b1=b1, b2=b2, eps=eps),
+    )
+
+
 def decay_mask(params) -> dict:
     """True for conv/dense kernels, False for biases and norm scales —
     the `group_weight` split of /root/reference/train.py:166-185."""

@@ -35,9 +35,28 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, tx: optax.GradientTransformation, rng,
-                       input_shape=(1, 256, 256, 3)) -> TrainState:
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32),
-                           train=False)
+                       input_shape=(1, 256, 256, 3),
+                       init_on_cpu: bool = False) -> TrainState:
+    """Initialise params/batch-stats/optimizer.
+
+    `init_on_cpu` runs the (one-shot) init program on the host CPU backend —
+    useful when accelerator compiles are expensive (remote-compile tunnels);
+    parameters are identical since init is deterministic in the PRNG key.
+    """
+    def _init():
+        return model.init(rng, jnp.zeros(input_shape, jnp.float32),
+                          train=False)
+
+    if init_on_cpu:
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                variables = _init()
+            variables = jax.device_put(variables)
+        except RuntimeError:
+            variables = _init()
+    else:
+        variables = _init()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

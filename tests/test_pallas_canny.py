@@ -1,0 +1,41 @@
+"""Pallas fused Canny kernel == XLA reference implementation
+(interpret mode on CPU; compiled path exercised on TPU by bench/model)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from saunet_tpu.ops.edge import canny_edges, image_to_gray255
+from saunet_tpu.ops.pallas.canny import canny_edges_pallas
+
+
+def test_pallas_matches_xla_reference():
+    rs = np.random.RandomState(0)
+    # smooth-ish synthetic image with structure: blobs + gradient
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = (
+        100 * np.exp(-((yy - 20) ** 2 + (xx - 30) ** 2) / 100.0)
+        + 80 * (xx > 40)
+        + 10 * rs.rand(64, 64)
+    ).astype(np.float32)[None]
+    gray = np.clip(img, 0, 255)
+
+    ref = np.asarray(canny_edges(jnp.asarray(gray[..., None])))[..., 0]
+    ours = np.asarray(canny_edges_pallas(jnp.asarray(gray),
+                                         interpret=True))[..., 0]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_pallas_batch_and_values():
+    rs = np.random.RandomState(1)
+    gray = (rs.rand(3, 32, 32) * 255).astype(np.float32)
+    out = np.asarray(canny_edges_pallas(jnp.asarray(gray), interpret=True))
+    assert out.shape == (3, 32, 32, 1)
+    assert set(np.unique(out)) <= {0.0, 255.0}
+
+
+def test_image_to_gray255_range():
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 16, 16, 3).astype(np.float32))
+    g = np.asarray(image_to_gray255(x))
+    assert g.shape == (2, 16, 16, 1)
+    assert g.min() >= 0 and abs(g.max() - 255.0) < 1e-3
