@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..data import ACDCTestDataset, nifti, normalize_for_eval, resample_to_orig
 from ..models import build_unet
-from ..train import create_train_state, make_infer_step, radam, restore_checkpoint
+from ..train import create_train_state, make_infer_step, radam, restore_params_only
 from ..utils import AverageMeter
 
 
@@ -77,7 +77,7 @@ def main(argv=None):
     state = create_train_state(model, radam(1e-4), jax.random.PRNGKey(0),
                                input_shape=(1, args.crop_size,
                                             args.crop_size, 3))
-    state = restore_checkpoint(args.checkpoint, state)
+    state = restore_params_only(args.checkpoint, state)
     infer = make_infer_step(model)
     prep = jax.jit(normalize_for_eval)
 

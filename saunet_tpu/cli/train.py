@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data import ACDCDataset, edge_ground_truth, make_augment_fn, normalize_for_eval
+from ..data.loader import ArrayDataLoader, RandomSampler
 from ..models import build_unet
 from ..parallel import make_mesh, shard_batch
 from ..train import (
@@ -183,16 +184,18 @@ def main(argv=None):
     shuffle_rng = np.random.RandomState(args.seed)
     os.makedirs(args.ckpt, exist_ok=True)
 
+    loader = ArrayDataLoader(
+        {"image": train_imgs, "label": train_labs.astype(np.int32)},
+        batch_size=args.batch_size,
+        sampler=RandomSampler(len(train_imgs), shuffle_rng),
+        place=lambda b: shard_batch(b, mesh), prefetch=2)
+
     for epoch in range(args.start_epoch, args.num_epoch + 1):
         loss_m, acc_m = AverageMeter(), AverageMeter()
         jac_m = AverageMeter()
         time_m = AverageMeter()
         tic = time.time()
-        for it, sel in enumerate(
-                batches(len(train_imgs), args.batch_size, shuffle_rng)):
-            raw = {"image": train_imgs[sel],
-                   "label": train_labs[sel].astype(np.int32)}
-            batch = shard_batch(raw, mesh)
+        for it, batch in enumerate(loader):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             loss_m.update(float(metrics["loss"]))

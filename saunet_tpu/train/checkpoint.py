@@ -39,10 +39,18 @@ def restore_checkpoint(path: str, target_state):
 def restore_params_only(path: str, target_state):
     """Warm-start weights (+batch stats) from a checkpoint while keeping a
     fresh optimizer — the reference's `--weights_unet` semantics
-    (/root/reference/models/models.py:161-164, strict=False)."""
-    restored = restore_checkpoint(path, target_state)
-    return target_state.replace(params=restored.params,
-                                batch_stats=restored.batch_stats)
+    (/root/reference/models/models.py:161-164, strict=False).
+
+    Deserialises leniently from raw msgpack so a checkpoint written with a
+    different optimizer/schedule (hence different opt_state pytree) still
+    restores the model weights."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(target_state.params,
+                                           raw["params"], name="params")
+    batch_stats = serialization.from_state_dict(
+        target_state.batch_stats, raw["batch_stats"], name="batch_stats")
+    return target_state.replace(params=params, batch_stats=batch_stats)
 
 
 def _jsonable(x):

@@ -43,20 +43,24 @@ def create_train_state(model, tx: optax.GradientTransformation, rng,
     useful when accelerator compiles are expensive (remote-compile tunnels);
     parameters are identical since init is deterministic in the PRNG key.
     """
-    def _init():
-        return model.init(rng, jnp.zeros(input_shape, jnp.float32),
-                          train=False)
+    def _init(m):
+        return m.init(rng, jnp.zeros(input_shape, jnp.float32),
+                      train=False)
 
     if init_on_cpu:
         try:
             cpu = jax.devices("cpu")[0]
+            # Pallas kernels don't lower on the CPU backend; the edge
+            # operator holds no parameters, so init with the XLA variant.
+            init_model = (model.clone(edge_kernel="xla")
+                          if hasattr(model, "edge_kernel") else model)
             with jax.default_device(cpu):
-                variables = _init()
+                variables = _init(init_model)
             variables = jax.device_put(variables)
         except RuntimeError:
-            variables = _init()
+            variables = _init(model)
     else:
-        variables = _init()
+        variables = _init(model)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
