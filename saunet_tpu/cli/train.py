@@ -78,6 +78,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", default=304, type=int)
     p.add_argument("--space", default=1, type=int,
                    help="spatial-parallel mesh axis size")
+    p.add_argument("--resume", action="store_true",
+                   help="resume exactly (params+optimizer+step) from the "
+                        "latest checkpoint in the run's ckpt dir")
     args = p.parse_args(argv)
 
     n_dev = jax.device_count()
@@ -86,6 +89,21 @@ def parse_args(argv=None):
     args.id += f"-LR_unet{args.lr_encoder}-epoch{args.num_epoch}"
     args.ckpt = os.path.join(args.ckpt, args.id)
     return args
+
+
+def _latest_checkpoint(ckpt_dir):
+    """(path, epoch) of the newest state_epoch_N.msgpack, or None."""
+    import re
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for f in os.listdir(ckpt_dir):
+        m = re.match(r"state_epoch_(\d+)\.msgpack$", f)
+        if m:
+            e = int(m.group(1))
+            if best is None or e > best[1]:
+                best = (os.path.join(ckpt_dir, f), e)
+    return best
 
 
 def batches(n, batch_size, rng=None, drop_last=True):
@@ -165,6 +183,14 @@ def main(argv=None):
     if args.weights_unet:
         state = restore_params_only(args.weights_unet, state)
         print("Loaded pretrained UNet weights.")
+    if args.resume:
+        latest = _latest_checkpoint(args.ckpt)
+        if latest:
+            from ..train import restore_checkpoint
+            state = restore_checkpoint(latest[0], state)
+            args.start_epoch = latest[1] + 1
+            print(f"Resumed from {latest[0]} (epoch {latest[1]}); "
+                  f"continuing at epoch {args.start_epoch}")
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"model: {args.unet_arch}  params: {n_params / 1e6:.2f}M")

@@ -89,13 +89,22 @@ class Transition(nn.Module):
 
 
 class DenseNetEncoder(nn.Module):
-    """DenseNet-121 trunk exposing the five SAUNet feature taps."""
+    """DenseNet-121 trunk exposing the five SAUNet feature taps.
+
+    `remat=True` rematerialises each dense block in the backward pass
+    (jax.checkpoint) — trades ~1 extra forward of FLOPs for O(depth) less
+    activation memory, the standard lever for growing batch/resolution on
+    HBM-bound TPUs.
+    """
     block_config: Sequence[int] = DENSENET121_BLOCKS
     dtype: Dtype = jnp.float32
     act: Callable = nn.relu
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
+        block_cls = (nn.remat(DenseBlock, static_argnums=(2,))
+                     if self.remat else DenseBlock)
         # Stage 1: conv0 (7x7/2) + norm0.  NO relu0 / pool0 (SAUNet drops
         # them: /root/reference/models/models.py:304-305).
         f1 = nn.Conv(NUM_INIT_FEATURES, (7, 7), strides=(2, 2),
@@ -109,8 +118,8 @@ class DenseNetEncoder(nn.Module):
         h = f1
         taps = []
         for i, num_layers in enumerate(self.block_config):
-            h = DenseBlock(num_layers, dtype=self.dtype, act=self.act,
-                           name=f"denseblock{i + 1}")(h, train)
+            h = block_cls(num_layers, dtype=self.dtype, act=self.act,
+                          name=f"denseblock{i + 1}")(h, train)
             features += num_layers * GROWTH_RATE
             if i != len(self.block_config) - 1:
                 features = features // 2

@@ -48,6 +48,8 @@ class SAUNet(nn.Module):
     canny_high: float = 100.0
     # 'auto': fused Pallas kernel on TPU, XLA ops elsewhere.
     edge_kernel: str = "auto"
+    # rematerialise encoder dense blocks (memory for FLOPs)
+    remat: bool = False
 
     def _canny(self, gray):
         use_pallas = self.edge_kernel == "pallas" or (
@@ -66,7 +68,7 @@ class SAUNet(nn.Module):
 
         # --- Encoder -----------------------------------------------------
         conv1, conv2, conv3, conv4, conv5 = DenseNetEncoder(
-            dtype=dt, act=act, name="encoder")(x, train)
+            dtype=dt, act=act, remat=self.remat, name="encoder")(x, train)
         del conv1  # tapped for saliency hooks only in the reference
 
         # --- Shape stream (full-res, tiny channels) ----------------------
