@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .norm import batch_norm
+
 # Kaiming-normal fan-out: normal(0, sqrt(2 / (k*k*out))) — the init the
 # reference applies to every conv in its blocks.
 kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -46,10 +48,7 @@ class ConvBNRelu(nn.Module):
             strides=(self.stride, self.stride), padding="SAME",
             kernel_init=kaiming_normal_out, dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
-        )(x)
+        x = batch_norm(train, self.dtype)(x)
         return self.act(x)
 
 
@@ -89,8 +88,7 @@ class SpatialAttentionBlock(nn.Module):
         c = nn.Conv(self.attn_features, (1, 1), use_bias=False,
                     kernel_init=kaiming_normal_out, dtype=self.dtype,
                     name="down")(x)
-        c = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(c)
+        c = batch_norm(train, self.dtype)(c)
         c = self.act(c)
         c = nn.Conv(1, (1, 1), use_bias=True,
                     kernel_init=kaiming_normal_out, dtype=self.dtype,
@@ -112,8 +110,7 @@ class ConvTransposeBNRelu(nn.Module):
             self.features, (4, 4), strides=(2, 2), padding="SAME",
             kernel_init=kaiming_normal_out, dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
+        x = batch_norm(train, self.dtype)(x)
         return self.act(x)
 
 
@@ -136,8 +133,7 @@ class DualAttBlock(nn.Module):
         fused = nn.Conv(self.outchannels, (3, 3), padding="SAME",
                         kernel_init=kaiming_normal_out, dtype=self.dtype,
                         name="c3x3")(fused)
-        fused = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype)(fused)
+        fused = batch_norm(train, self.dtype)(fused)
         fused = self.act(fused)
         spatial = SpatialAttentionBlock(self.outchannels // 4,
                                         dtype=self.dtype, act=self.act,
@@ -161,14 +157,12 @@ class ResBasicBlock(nn.Module):
         out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = batch_norm(train, self.dtype, name="bn1")(out)
         out = self.act(out)
         out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = batch_norm(train, self.dtype, name="bn2")(out)
         return self.act(out + residual)
 
 
@@ -182,15 +176,13 @@ class GatedSpatialConv(nn.Module):
     @nn.compact
     def __call__(self, input_features, gating_features, train: bool = True):
         cat = jnp.concatenate([input_features, gating_features], axis=-1)
-        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="gate_bn1")(cat)
+        g = batch_norm(train, self.dtype, name="gate_bn1")(cat)
         g = nn.Conv(cat.shape[-1], (1, 1), kernel_init=kaiming_normal_out,
                     dtype=self.dtype, name="gate_conv1")(g)
         g = self.act(g)
         g = nn.Conv(1, (1, 1), kernel_init=kaiming_normal_out,
                     dtype=self.dtype, name="gate_conv2")(g)
-        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="gate_bn2")(g)
+        g = batch_norm(train, self.dtype, name="gate_bn2")(g)
         alpha = nn.sigmoid(g)
         out = nn.Conv(self.features, (1, 1), use_bias=False,
                       kernel_init=xavier_normal, dtype=self.dtype,
@@ -215,30 +207,24 @@ class SEBottleneck(nn.Module):
         out = nn.Conv(self.planes * 2, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = batch_norm(train, self.dtype, name="bn1")(out)
         out = self.act(out)
         out = nn.Conv(self.planes * 4, (3, 3), strides=(self.stride,) * 2,
                       padding="SAME", feature_group_count=self.groups,
                       use_bias=False, kernel_init=kaiming_normal_out,
                       dtype=self.dtype, name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = batch_norm(train, self.dtype, name="bn2")(out)
         out = self.act(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn3")(out)
+        out = batch_norm(train, self.dtype, name="bn3")(out)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                kernel_init=kaiming_normal_out,
                                dtype=self.dtype, name="down_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype,
-                                    name="down_bn")(residual)
+            residual = batch_norm(train, self.dtype, name="down_bn")(residual)
         out = SEModule(self.planes * 4, self.reduction, dtype=self.dtype,
                        act=self.act, name="se_module")(out)
         return self.act(out + residual)
@@ -261,30 +247,24 @@ class SEResNetBottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
                       use_bias=False, kernel_init=kaiming_normal_out,
                       dtype=self.dtype, name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = batch_norm(train, self.dtype, name="bn1")(out)
         out = self.act(out)
         out = nn.Conv(self.planes, (3, 3), padding="SAME",
                       feature_group_count=self.groups, use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = batch_norm(train, self.dtype, name="bn2")(out)
         out = self.act(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn3")(out)
+        out = batch_norm(train, self.dtype, name="bn3")(out)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                kernel_init=kaiming_normal_out,
                                dtype=self.dtype, name="down_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype,
-                                    name="down_bn")(residual)
+            residual = batch_norm(train, self.dtype, name="down_bn")(residual)
         out = SEModule(self.planes * 4, self.reduction, dtype=self.dtype,
                        act=self.act, name="se_module")(out)
         return self.act(out + residual)
@@ -323,17 +303,13 @@ class HighFrequencyGatedSpatialConv(nn.Module):
                           jnp.concatenate([dog, input_features], axis=-1))
 
         cat = jnp.concatenate([input_features, gating_features], axis=-1)
-        gte = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype,
-                           name="gate_bn1")(cat)
+        gte = batch_norm(train, self.dtype, name="gate_bn1")(cat)
         gte = nn.Conv(cat.shape[-1], (1, 1), kernel_init=kaiming_normal_out,
                       dtype=self.dtype, name="gate_conv1")(gte)
         gte = self.act(gte)
         gte = nn.Conv(1, (1, 1), kernel_init=kaiming_normal_out,
                       dtype=self.dtype, name="gate_conv2")(gte)
-        gte = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype,
-                           name="gate_bn2")(gte)
+        gte = batch_norm(train, self.dtype, name="gate_bn2")(gte)
         alpha = nn.sigmoid(gte)
         return nn.Conv(self.features, (1, 1), use_bias=False,
                        kernel_init=xavier_normal, dtype=self.dtype,

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import kaiming_normal_out
+from .norm import batch_norm
 
 Dtype = Any
 
@@ -42,14 +43,12 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = batch_norm(train, self.dtype, name="norm1")(x)
         h = self.act(h)
         h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
                     kernel_init=kaiming_normal_out, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = batch_norm(train, self.dtype, name="norm2")(h)
         h = self.act(h)
         h = nn.Conv(self.growth_rate, (3, 3), padding="SAME", use_bias=False,
                     kernel_init=kaiming_normal_out, dtype=self.dtype,
@@ -79,8 +78,7 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = batch_norm(train, self.dtype, name="norm")(x)
         x = self.act(x)
         x = nn.Conv(self.out_features, (1, 1), use_bias=False,
                     kernel_init=kaiming_normal_out, dtype=self.dtype,
@@ -111,8 +109,7 @@ class DenseNetEncoder(nn.Module):
                      padding=((3, 3), (3, 3)), use_bias=False,
                      kernel_init=kaiming_normal_out, dtype=self.dtype,
                      name="conv0")(x)
-        f1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype, name="norm0")(f1)
+        f1 = batch_norm(train, self.dtype, name="norm0")(f1)
 
         features = NUM_INIT_FEATURES
         h = f1
@@ -127,8 +124,7 @@ class DenseNetEncoder(nn.Module):
                                name=f"transition{i + 1}")(h, train)
                 taps.append(h)
         # norm5 after denseblock4, no trailing ReLU
-        f5 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype, name="norm5")(h)
+        f5 = batch_norm(train, self.dtype, name="norm5")(h)
         f2, f3, f4 = taps
         return f1, f2, f3, f4, f5
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import ResBasicBlock, kaiming_normal_out  # noqa: F401  (BasicBlock parity)
+from .norm import batch_norm
 
 Dtype = Any
 
@@ -36,23 +37,18 @@ class BasicBlockStride(nn.Module):
                       padding="SAME", use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = batch_norm(train, self.dtype, name="bn1")(out)
         out = self.act(out)
         out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = batch_norm(train, self.dtype, name="bn2")(out)
         if self.downsample:
             residual = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                kernel_init=kaiming_normal_out,
                                dtype=self.dtype, name="down_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype,
-                                    name="down_bn")(residual)
+            residual = batch_norm(train, self.dtype, name="down_bn")(residual)
         return self.act(out + residual)
 
 
@@ -70,30 +66,24 @@ class BottleneckBlock(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = batch_norm(train, self.dtype, name="bn1")(out)
         out = self.act(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
                       padding="SAME", use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = batch_norm(train, self.dtype, name="bn2")(out)
         out = self.act(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_out, dtype=self.dtype,
                       name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn3")(out)
+        out = batch_norm(train, self.dtype, name="bn3")(out)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                kernel_init=kaiming_normal_out,
                                dtype=self.dtype, name="down_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype,
-                                    name="down_bn")(residual)
+            residual = batch_norm(train, self.dtype, name="down_bn")(residual)
         return self.act(out + residual)
 
 
@@ -111,9 +101,7 @@ class ResNet(nn.Module):
             x = nn.Conv(f, (3, 3), strides=(s, s), padding="SAME",
                         use_bias=False, kernel_init=kaiming_normal_out,
                         dtype=self.dtype, name=f"stem_conv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name=f"stem_bn{i + 1}")(x)
+            x = batch_norm(train, self.dtype, name=f"stem_bn{i + 1}")(x)
             x = self.act(x)
         c1 = x
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")

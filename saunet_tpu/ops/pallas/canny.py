@@ -25,9 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift (H, W) by (dy, dx) with zero fill — pure VPU (roll + mask)."""
+    """Shift (H, W) by (dy, dx) with zero fill — pure VPU (roll + mask).
+
+    Roll only the nonzero axes: a zero-shift roll lowers to a zero-size
+    slice in Mosaic ('vector types must have positive constant sizes')."""
     h, w = x.shape
-    out = jnp.roll(x, shift=(dy, dx), axis=(0, 1))
+    out = x
+    if dy != 0:
+        out = jnp.roll(out, shift=dy, axis=0)
+    if dx != 0:
+        out = jnp.roll(out, shift=dx, axis=1)
     if dy != 0:
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         out = jnp.where(rows >= dy if dy > 0 else rows < h + dy, out, 0.0)
@@ -69,15 +76,17 @@ def _canny_kernel(low: float, high: float, iters: int,
     m_ul, m_dr = _shift(mag, 1, 1), _shift(mag, -1, -1)
     m_ur, m_dl = _shift(mag, 1, -1), _shift(mag, -1, 1)
 
-    keep_h = (mag >= m_l) & (mag >= m_r)
-    keep_v = (mag >= m_u) & (mag >= m_d)
-    keep_d1 = (mag >= m_ul) & (mag >= m_dr)
-    keep_d2 = (mag >= m_ur) & (mag >= m_dl)
+    # float {0,1} keep masks: Mosaic doesn't lower boolean-vector selects
+    # ('unsupported target bitwidth for truncation'), so select between f32.
+    keep_h = ((mag >= m_l) & (mag >= m_r)).astype(jnp.float32)
+    keep_v = ((mag >= m_u) & (mag >= m_d)).astype(jnp.float32)
+    keep_d1 = ((mag >= m_ul) & (mag >= m_dr)).astype(jnp.float32)
+    keep_d2 = ((mag >= m_ur) & (mag >= m_dl)).astype(jnp.float32)
 
     keep = jnp.where(horiz, keep_h,
                      jnp.where(vert, keep_v,
                                jnp.where(same_sign, keep_d1, keep_d2)))
-    nms = jnp.where(keep, mag, 0.0)
+    nms = mag * keep
 
     strong = (nms > high).astype(jnp.float32)
     weak = (nms > low).astype(jnp.float32)

@@ -75,6 +75,9 @@ def default_config() -> AttrDict:
     cfg.MODEL.NORM_FN = "batchnorm"
     cfg.MODEL.BN_MOMENTUM = 0.9  # flax convention: ra = m*ra + (1-m)*batch
     cfg.MODEL.BN_EPS = 1e-5
+    # mesh axis for explicit cross-shard BN sync under shard_map
+    # (None under jit auto-sharding, where global-batch stats are automatic)
+    cfg.MODEL.BN_AXIS_NAME = None
 
     cfg.DATASET = AttrDict()
     cfg.DATASET.ACDC_DIR = ""
