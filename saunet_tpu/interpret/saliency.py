@@ -80,7 +80,7 @@ def vanilla_gradients(model, variables, image: jnp.ndarray,
 
 def guided_model(model):
     """Clone of `model` whose ReLUs use the guided-backprop VJP."""
-    return model.replace(act=guided_relu)
+    return model.clone(act=guided_relu)
 
 
 def guided_gradients(model, variables, image, target,
