@@ -38,13 +38,15 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     hw = int(os.environ.get("BENCH_HW", "224"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    mode = os.environ.get("BENCH_MODE", "train")  # train | infer
+
+    from saunet_tpu.train import make_infer_step
 
     model = SAUNet(num_classes=4, dtype=jnp.bfloat16)
     tx = radam(1e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                input_shape=(1, hw, hw, 3),
                                init_on_cpu=True)
-    step = make_train_step(model, tx, donate=False)
 
     rs = np.random.RandomState(0)
     b = {
@@ -56,15 +58,24 @@ def main():
     }
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    state, metrics = step(state, b, rng)
-    jax.block_until_ready(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    if mode == "infer":
+        infer = make_infer_step(model)
+        _, preds, _ = infer(state, b["image"])
+        jax.block_until_ready(preds)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            _, preds, _ = infer(state, b["image"])
+        jax.block_until_ready(preds)
+        dt = time.perf_counter() - t0
+    else:
+        step = make_train_step(model, tx, donate=False)
         state, metrics = step(state, b, rng)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step(state, b, rng)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
 
     slices_per_sec = batch * steps / dt
 
@@ -82,7 +93,7 @@ def main():
               file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"SAUNet train slices/sec/chip @{hw}² bf16 batch {batch}",
+        "metric": f"SAUNet {mode} slices/sec/chip @{hw}² bf16 batch {batch}",
         "value": round(slices_per_sec, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(vs_baseline, 2),

@@ -74,6 +74,8 @@ def parse_args(argv=None):
     p.add_argument("--crop_size", default=256, type=int)
     p.add_argument("--no_deform", action="store_true",
                    help="disable elastic deformation")
+    p.add_argument("--slice_cache", default="",
+                   help="dir to memoise host-side volume preprocessing")
     # misc
     p.add_argument("--seed", default=304, type=int)
     p.add_argument("--space", default=1, type=int,
@@ -163,8 +165,9 @@ def main(argv=None):
                          k_split=args.k_split, target_size=args.crop_size)
     print(f"loading {len(ds_train)} train / {len(ds_val)} val volumes ...")
     t0 = time.time()
-    train_imgs, train_labs, _ = ds_train.load_slices()
-    val_imgs, val_labs, _ = ds_val.load_slices()
+    cache = args.slice_cache or None
+    train_imgs, train_labs, _ = ds_train.load_slices(cache_dir=cache)
+    val_imgs, val_labs, _ = ds_val.load_slices(cache_dir=cache)
     print(f"  {len(train_imgs)} train / {len(val_imgs)} val slices "
           f"({time.time() - t0:.1f}s)")
 

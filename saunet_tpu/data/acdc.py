@@ -199,9 +199,23 @@ class ACDCDataset:
             post_scale_shape=post_scale, spacing=pix_dim,
         )
 
-    def load_slices(self) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    def load_slices(self, cache_dir: Optional[str] = None
+                    ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
         """Flatten all volumes to per-slice arrays:
-        (N, H, W) images, (N, H, W) labels, names."""
+        (N, H, W) images, (N, H, W) labels, names.
+
+        With `cache_dir`, the (deterministic) host preprocessing result is
+        memoised on disk — the reference re-decodes and re-rescales every
+        volume at every run startup (ac17_dataloader.py:182-189)."""
+        if cache_dir:
+            import hashlib
+            key = hashlib.md5(repr(
+                (sorted(self.series), self.target_size, self.spacing,
+                 self.split)).encode()).hexdigest()[:16]
+            path = os.path.join(cache_dir, f"acdc_slices_{key}.npz")
+            if os.path.exists(path):
+                z = np.load(path, allow_pickle=True)
+                return z["images"], z["labels"], list(z["names"])
         imgs, labs, names = [], [], []
         for i in range(len(self)):
             v = self.load_volume(i)
@@ -209,7 +223,12 @@ class ACDCDataset:
                 imgs.append(v.image[:, :, z])
                 labs.append(v.label[:, :, z])
                 names.append(f"{v.name}_z{z}")
-        return np.stack(imgs), np.stack(labs), names
+        images, labels = np.stack(imgs), np.stack(labs)
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(path, images=images, labels=labels,
+                     names=np.asarray(names, dtype=object))
+        return images, labels, names
 
 
 class ACDCTestDataset:
