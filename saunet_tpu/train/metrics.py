@@ -54,6 +54,15 @@ def intersection_and_union(pred: np.ndarray, label: np.ndarray,
     return area_inter, area_pred + area_lab - area_inter
 
 
+def accuracy(preds: np.ndarray, label: np.ndarray):
+    """Valid-pixel accuracy over label >= 0 (capability of
+    /root/reference/utils.py:111-116)."""
+    valid = label >= 0
+    acc_sum = np.sum(valid * (preds == label))
+    valid_sum = np.sum(valid)
+    return float(acc_sum) / (float(valid_sum) + 1e-10), valid_sum
+
+
 def dice_coefficient(pred: np.ndarray, label: np.ndarray,
                      num_class: int) -> np.ndarray:
     """Per-class Dice for classes 1..num_class-1 (host-side)."""
