@@ -8,7 +8,12 @@ from .losses import (
     label_smooth_softmax_ce,
     weighted_cross_entropy,
 )
-from .metrics import dice_coefficient, intersection_and_union, pixel_acc
+from .metrics import (
+    accuracy,
+    dice_coefficient,
+    intersection_and_union,
+    pixel_acc,
+)
 from .optim import (
     adamw,
     cosine_epoch_schedule,
