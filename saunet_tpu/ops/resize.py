@@ -71,6 +71,11 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.n
         #    f32 accumulation; the interpolation weights are bf16-rounded
         #    (<0.4% error), invisible to training and half the HBM traffic
         #    of upcasting the (N, H_out, W_out, C) intermediates.
+        # Each output pixel is a TWO-tap convex combination, so accumulation
+        # precision is irrelevant — keep everything in the input dtype. A
+        # forced f32 accumulation made XLA materialise giant f32 transposed
+        # intermediates (1.3 GB per resize at batch 64) and serialised the
+        # whole forward program ~16x.
         dtype = x.dtype
         if dtype == jnp.bfloat16:
             xf = x
@@ -82,12 +87,10 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.n
             prec = jax.lax.Precision.HIGHEST
         if h != out_h:
             ah = jnp.asarray(_interp_matrix(h, out_h, align_corners), cast)
-            xf = jnp.einsum("Oh,nhwc->nOwc", ah, xf, precision=prec,
-                            preferred_element_type=jnp.float32).astype(cast)
+            xf = jnp.einsum("Oh,nhwc->nOwc", ah, xf, precision=prec)
         if w != out_w:
             aw = jnp.asarray(_interp_matrix(w, out_w, align_corners), cast)
-            xf = jnp.einsum("Ow,nhwc->nhOc", aw, xf, precision=prec,
-                            preferred_element_type=jnp.float32).astype(cast)
+            xf = jnp.einsum("Ow,nhwc->nhOc", aw, xf, precision=prec)
         out = xf.astype(dtype)
     for ax in squeeze:
         out = jnp.squeeze(out, axis=ax)

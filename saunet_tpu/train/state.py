@@ -56,7 +56,13 @@ def create_train_state(model, tx: optax.GradientTransformation, rng,
                           if hasattr(model, "edge_kernel") else model)
             with jax.default_device(cpu):
                 variables = _init(init_model)
-            variables = jax.device_put(variables)
+            # Round-trip through host numpy: device_put of a CPU *jax* array
+            # carries its layout to the accelerator, making every jit that
+            # consumes the params specialise on non-native layouts (observed:
+            # 10-20x slower executables). Host numpy -> default TPU layouts.
+            import numpy as _np
+            variables = jax.tree.map(
+                lambda x: jax.device_put(_np.asarray(x)), variables)
         except RuntimeError:
             variables = _init(model)
     else:
