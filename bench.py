@@ -35,7 +35,7 @@ def main():
     from saunet_tpu.models import SAUNet
     from saunet_tpu.train import create_train_state, make_train_step, radam
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     hw = int(os.environ.get("BENCH_HW", "224"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
