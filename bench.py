@@ -39,10 +39,11 @@ def main():
     hw = int(os.environ.get("BENCH_HW", "224"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     from saunet_tpu.train import make_infer_step
 
-    model = SAUNet(num_classes=4, dtype=jnp.bfloat16)
+    model = SAUNet(num_classes=4, dtype=jnp.bfloat16, remat=remat)
     tx = radam(1e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                input_shape=(1, hw, hw, 3),
