@@ -213,13 +213,20 @@ def main(argv=None):
     shuffle_rng = np.random.RandomState(args.seed)
     os.makedirs(args.ckpt, exist_ok=True)
 
+    # multi-host: each process loads its shard of the global index space
+    if jax.process_count() > 1:
+        from ..data.loader import DistributedShardSampler
+        sampler = DistributedShardSampler(len(train_imgs), seed=args.seed)
+    else:
+        sampler = RandomSampler(len(train_imgs), shuffle_rng)
     loader = ArrayDataLoader(
         {"image": train_imgs, "label": train_labs.astype(np.int32)},
-        batch_size=args.batch_size,
-        sampler=RandomSampler(len(train_imgs), shuffle_rng),
+        batch_size=args.batch_size, sampler=sampler,
         place=lambda b: shard_batch(b, mesh), prefetch=2)
 
     for epoch in range(args.start_epoch, args.num_epoch + 1):
+        if hasattr(sampler, "set_epoch"):
+            sampler.set_epoch(epoch)
         loss_m, acc_m = AverageMeter(), AverageMeter()
         jac_m = AverageMeter()
         time_m = AverageMeter()
