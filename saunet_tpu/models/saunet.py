@@ -52,8 +52,12 @@ class SAUNet(nn.Module):
     remat: bool = False
 
     def _canny(self, gray):
+        # The fused kernel holds ~18 live (H, W) f32 buffers in VMEM; above
+        # ~220k pixels (448²) it exceeds the ~16 MiB budget, so large images
+        # fall back to the XLA implementation (identical numerics).
+        fits_vmem = gray.shape[1] * gray.shape[2] <= 220_000
         use_pallas = self.edge_kernel == "pallas" or (
-            self.edge_kernel == "auto"
+            self.edge_kernel == "auto" and fits_vmem
             and jax.default_backend() not in ("cpu", "gpu"))
         if use_pallas:
             from ..ops.pallas.canny import canny_edges_pallas
