@@ -22,15 +22,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: the remote-compile tunnel in this environment
-    # is slow (minutes per program); cache across runs/rounds.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    def enable_cache():
+        # Persistent compile cache for TPU programs (the remote compiler is
+        # slow). Enabled only AFTER the CPU-side init: CPU programs are also
+        # compiled remotely here, for a machine with ISA features this host
+        # lacks — loading such a cached CPU executable can SIGILL.
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
 
     from saunet_tpu.models import SAUNet
     from saunet_tpu.train import create_train_state, make_train_step, radam
@@ -48,6 +52,7 @@ def main():
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                input_shape=(1, hw, hw, 3),
                                init_on_cpu=True)
+    enable_cache()
 
     rs = np.random.RandomState(0)
     b = {
