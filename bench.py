@@ -44,6 +44,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    augment = os.environ.get("BENCH_AUGMENT", "0") == "1"
 
     from saunet_tpu.train import make_infer_step
 
@@ -74,7 +75,15 @@ def main():
         jax.block_until_ready(preds)
         dt = time.perf_counter() - t0
     else:
-        step = make_train_step(model, tx, donate=False)
+        augment_fn = None
+        if augment:
+            # the real training path: flips/rotation/elastic/gamma/z-score
+            # + edge ground truth fused into the compiled step
+            from saunet_tpu.data import make_augment_fn
+            augment_fn = make_augment_fn(num_classes=4)
+            b = {"image": b["image"][..., 0], "label": b["label"]}
+        step = make_train_step(model, tx, donate=False,
+                               augment_fn=augment_fn)
         state, metrics = step(state, b, rng)
         jax.block_until_ready(metrics["loss"])
         t0 = time.perf_counter()
@@ -98,8 +107,9 @@ def main():
         print("bench: baseline_torch.json missing; vs_baseline=1.0",
               file=sys.stderr)
 
+    tag = f"{mode}+aug" if (mode == "train" and augment) else mode
     print(json.dumps({
-        "metric": f"SAUNet {mode} slices/sec/chip @{hw}² bf16 batch {batch}",
+        "metric": f"SAUNet {tag} slices/sec/chip @{hw}² bf16 batch {batch}",
         "value": round(slices_per_sec, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
