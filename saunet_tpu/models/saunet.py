@@ -52,16 +52,29 @@ class SAUNet(nn.Module):
     remat: bool = False
 
     def _canny(self, gray):
-        # The fused kernel holds ~18 live (H, W) f32 buffers in VMEM; above
-        # ~220k pixels (448²) it exceeds the ~16 MiB budget, so large images
-        # fall back to the XLA implementation (identical numerics).
-        fits_vmem = gray.shape[1] * gray.shape[2] <= 220_000
+        # The fused whole-image kernel holds ~18 live (H, W) f32 buffers in
+        # VMEM; above ~220k pixels (448²) it exceeds the ~16 MiB budget and
+        # the row-tiled kernel (halo'd DMA bands, bit-identical output)
+        # takes over. XLA fallback only if no tile size divides H.
+        h, w = gray.shape[1], gray.shape[2]
+        fits_vmem = h * w <= 220_000
         use_pallas = self.edge_kernel == "pallas" or (
-            self.edge_kernel == "auto" and fits_vmem
+            self.edge_kernel == "auto"
             and jax.default_backend() not in ("cpu", "gpu"))
         if use_pallas:
-            from ..ops.pallas.canny import canny_edges_pallas
-            return canny_edges_pallas(gray, self.canny_low, self.canny_high)
+            from ..ops.pallas.canny import (
+                canny_edges_pallas,
+                canny_edges_pallas_tiled,
+                pick_tile_rows,
+            )
+            if fits_vmem:
+                return canny_edges_pallas(gray, self.canny_low,
+                                          self.canny_high)
+            tile_rows = pick_tile_rows(h, w)
+            if tile_rows is not None:
+                return canny_edges_pallas_tiled(
+                    gray, self.canny_low, self.canny_high,
+                    tile_rows=tile_rows)
         return canny_edges(gray, self.canny_low, self.canny_high)
 
     @nn.compact

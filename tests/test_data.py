@@ -126,6 +126,34 @@ def test_augment_shapes_and_stats():
     assert not np.array_equal(np.asarray(out3["image"]), img)
 
 
+def test_packed_warp_matches_reference_samplers():
+    """The single-gather packed warp == the independent bilinear/nearest
+    samplers (bf16 taps give <= 2^-8 relative error on the image; labels
+    must be bit-exact), including far-out-of-bounds coordinates."""
+    from saunet_tpu.data.augment import (
+        _sample_bilinear_batched,
+        _sample_nearest_batched,
+        _warp_image_label_packed,
+    )
+
+    rs = np.random.RandomState(7)
+    n, h, w = 2, 33, 37
+    imgs = jnp.asarray(rs.randn(n, h, w).astype(np.float32) * 3)
+    labels = jnp.asarray(rs.randint(0, 4, size=(n, h, w)).astype(np.int32))
+    sy = jnp.asarray((rs.rand(n, h, w) * (h + 10) - 5).astype(np.float32))
+    sx = jnp.asarray((rs.rand(n, h, w) * (w + 10) - 5).astype(np.float32))
+
+    img_ref = np.asarray(_sample_bilinear_batched(imgs, sy, sx))
+    lab_ref = np.asarray(_sample_nearest_batched(labels, sy, sx))
+    img_p, lab_p = jax.jit(_warp_image_label_packed,
+                           static_argnums=4)(imgs, labels, sy, sx, 4)
+
+    scale = np.abs(np.asarray(imgs)).max()
+    np.testing.assert_allclose(np.asarray(img_p), img_ref,
+                               atol=2 ** -7 * scale)
+    np.testing.assert_array_equal(np.asarray(lab_p), lab_ref)
+
+
 def test_normalize_for_eval():
     rs = np.random.RandomState(0)
     img = jnp.asarray(rs.rand(3, 16, 16).astype(np.float32) * 50)

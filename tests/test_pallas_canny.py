@@ -1,5 +1,8 @@
 """Pallas fused Canny kernel == XLA reference implementation
-(interpret mode on CPU; compiled path exercised on TPU by bench/model)."""
+(interpret mode on CPU; compiled path exercised on TPU by bench/model).
+
+On real hardware Mosaic's fp contraction flips ~0.2% of pixels at the
+threshold comparisons — bit-exactness is an interpret-mode property."""
 import numpy as np
 
 import jax.numpy as jnp
@@ -31,6 +34,38 @@ def test_pallas_batch_and_values():
     out = np.asarray(canny_edges_pallas(jnp.asarray(gray), interpret=True))
     assert out.shape == (3, 32, 32, 1)
     assert set(np.unique(out)) <= {0.0, 255.0}
+
+
+def test_tiled_matches_whole_image_kernel():
+    """Row-tiled kernel (halo'd DMA bands) is bit-identical to the
+    whole-image kernel and the XLA reference, at several tile sizes."""
+    from saunet_tpu.ops.pallas.canny import canny_edges_pallas_tiled
+
+    rs = np.random.RandomState(4)
+    yy, xx = np.mgrid[0:64, 0:48].astype(np.float32)
+    img = (
+        120 * np.exp(-((yy - 40) ** 2 + (xx - 12) ** 2) / 60.0)
+        + 90 * (yy > 50)
+        + 12 * rs.rand(64, 48)
+    ).astype(np.float32)[None]
+    gray = np.clip(img, 0, 255)
+    gray = np.concatenate([gray, gray[:, ::-1]], axis=0)  # batch of 2
+
+    ref = np.asarray(canny_edges(jnp.asarray(gray[..., None])))
+    for tile_rows in (16, 32, 64):
+        ours = np.asarray(canny_edges_pallas_tiled(
+            jnp.asarray(gray), tile_rows=tile_rows, interpret=True))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"tile {tile_rows}")
+
+
+def test_tiled_rejects_non_divisible():
+    import pytest
+
+    from saunet_tpu.ops.pallas.canny import canny_edges_pallas_tiled
+
+    with pytest.raises(ValueError):
+        canny_edges_pallas_tiled(jnp.zeros((1, 60, 48)), tile_rows=16,
+                                 interpret=True)
 
 
 def test_image_to_gray255_range():
