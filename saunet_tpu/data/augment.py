@@ -118,17 +118,20 @@ def _sample_nearest(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray
 def _flat_gather(imgs: jnp.ndarray, yc: jnp.ndarray, xc: jnp.ndarray
                  ) -> jnp.ndarray:
     """One flat 1-D gather over the whole (N, H, W) batch — lowers far
-    better on TPU than N independent 2-D gathers."""
+    better on TPU than N independent 2-D gathers. The output takes the
+    COORDINATE grid's shape (N, Ho, Wo), which may differ from the image's
+    (scale / crop transforms sample onto a new grid)."""
     n, h, w = imgs.shape
     base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
     idx = base + yc * w + xc
     return jnp.take(imgs.reshape(-1), idx.reshape(-1),
-                    mode="clip").reshape(n, h, w)
+                    mode="clip").reshape(yc.shape)
 
 
 def _sample_bilinear_batched(imgs: jnp.ndarray, sy: jnp.ndarray,
                              sx: jnp.ndarray) -> jnp.ndarray:
-    """imgs (N, H, W); sy/sx (N, H, W) float source coords; zero outside."""
+    """imgs (N, H, W); sy/sx (N, Ho, Wo) float source coords; zero
+    outside."""
     n, h, w = imgs.shape
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
@@ -237,11 +240,24 @@ def _coords_one(rng, h: int, w: int, enable_deform: bool):
     angle = jax.random.uniform(k_rot, minval=-jnp.pi, maxval=jnp.pi)
 
     if enable_deform:
+        # The σ=20px-smoothed field has no content above ~1/σ px⁻¹, so draw
+        # and blur it on a stride-4 grid (Nyquist 1/8 px⁻¹) and bilinearly
+        # upsample — ~64x less work than the full-res 161-tap blur, same
+        # spatial statistics. Blurring at σ/s GROWS the per-pixel std by
+        # exactly s (std ∝ sqrt(Σk²) per axis, Σk² = (2√π σ)⁻¹, two axes),
+        # so rescale by 1/s to match the full-res field's amplitude.
+        s = 4
+        hl, wl = -(-h // s), -(-w // s)
         do_el = jax.random.bernoulli(k_el).astype(jnp.float32)
-        fx = jax.random.uniform(k_elx, (1, h, w)) * 2.0 - 1.0
-        fy = jax.random.uniform(k_ely, (1, h, w)) * 2.0 - 1.0
-        dx = _gaussian_filter2d(fx, ELASTIC_SIGMA)[0] * ELASTIC_ALPHA * do_el
-        dy = _gaussian_filter2d(fy, ELASTIC_SIGMA)[0] * ELASTIC_ALPHA * do_el
+        fx = jax.random.uniform(k_elx, (1, hl, wl)) * 2.0 - 1.0
+        fy = jax.random.uniform(k_ely, (1, hl, wl)) * 2.0 - 1.0
+        amp = ELASTIC_ALPHA * do_el / s
+        dx = jax.image.resize(
+            _gaussian_filter2d(fx, ELASTIC_SIGMA / s)[0], (h, w),
+            "linear") * amp
+        dy = jax.image.resize(
+            _gaussian_filter2d(fy, ELASTIC_SIGMA / s)[0], (h, w),
+            "linear") * amp
     else:
         dx = jnp.zeros((h, w))
         dy = jnp.zeros((h, w))

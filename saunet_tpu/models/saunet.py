@@ -5,14 +5,19 @@ DenseNet-121 encoder (pool0 dropped), four dual-attention decoder blocks, a
 gated full-resolution shape stream, edge fusion, 1x1 classifier head — with
 one deliberate deviation: the reference's per-forward CPU round-trip to
 cv2.Canny (/root/reference/models/models.py:359-364) is replaced by the
-on-device XLA edge operator in saunet_tpu.ops.edge, so the entire forward is a
-single compiled program.
+on-device edge operator (XLA or fused Pallas kernel), so the entire forward
+is a single compiled program.
 
 Channel/resolution contract for 256² inputs (SURVEY.md §3.3):
   encoder:  f1 64@128², f2 128@64², f3 256@32², f4 512@16², f5 1024@16²
   shape stream: 64 -> 32 -> 16 -> 8 channels, all at 256²
   decoder:  center 512@8², dec5 512@16², dec4 256@32², dec3 128@64²,
             dec2 64@128², dec1 32@256², head num_classes@256²
+
+The module is setup()-style so the decoder can run standalone
+(`model.apply(vars, taps, x, method=SAUNet.decode)`) — the eval/inference
+path feeds it encoder taps produced by the fused Pallas dense-block
+kernels (saunet_tpu.models.fused_encoder) instead of the XLA encoder.
 """
 from __future__ import annotations
 
@@ -51,6 +56,49 @@ class SAUNet(nn.Module):
     # rematerialise encoder dense blocks (memory for FLOPs)
     remat: bool = False
 
+    def setup(self):
+        dt, act = self.dtype, self.act
+        conv1x1 = lambda ch: nn.Conv(  # noqa: E731
+            ch, (1, 1), kernel_init=kaiming_normal_out, dtype=dt)
+
+        self.encoder = DenseNetEncoder(dtype=dt, act=act, remat=self.remat)
+
+        # shape stream
+        self.d0 = conv1x1(64)
+        self.res1 = ResBasicBlock(64, dtype=dt, act=act)
+        self.d1 = conv1x1(32)
+        self.c3 = conv1x1(1)
+        self.gate1 = GatedSpatialConv(32, dtype=dt, act=act)
+        self.res2 = ResBasicBlock(32, dtype=dt, act=act)
+        self.d2 = conv1x1(16)
+        self.c4 = conv1x1(1)
+        self.gate2 = GatedSpatialConv(16, dtype=dt, act=act)
+        self.res3 = ResBasicBlock(16, dtype=dt, act=act)
+        self.d3 = conv1x1(8)
+        self.c5 = conv1x1(1)
+        self.gate3 = GatedSpatialConv(8, dtype=dt, act=act)
+        self.fuse = nn.Conv(1, (1, 1), use_bias=False,
+                            kernel_init=kaiming_normal_out, dtype=dt)
+
+        # edge fusion
+        self.cw = nn.Conv(1, (1, 1), use_bias=False,
+                          kernel_init=kaiming_normal_out, dtype=dt)
+        self.expand = ConvBNRelu(self.num_filters, kernel=1, dtype=dt,
+                                 act=act)
+
+        # decoder
+        self.center = ConvBNRelu(self.num_filters * 16, kernel=3, dtype=dt,
+                                 act=act)
+        self.dec5 = DualAttBlock(512, dtype=dt, act=act)
+        self.dec4 = DualAttBlock(256, dtype=dt, act=act)
+        self.dec3 = DualAttBlock(128, dtype=dt, act=act)
+        self.dec2 = DualAttBlock(64, dtype=dt, act=act)
+        self.dec1 = DecoderBlock(48, self.num_filters, dtype=dt, act=act)
+        self.dec0 = ConvBNRelu(self.num_filters, kernel=3, dtype=dt,
+                               act=act)
+        self.final = nn.Conv(self.num_classes, (1, 1),
+                             kernel_init=kaiming_normal_out, dtype=dt)
+
     def _canny(self, gray):
         # The fused whole-image kernel holds ~18 live (H, W) f32 buffers in
         # VMEM; above ~220k pixels (448²) it exceeds the ~16 MiB budget and
@@ -77,48 +125,40 @@ class SAUNet(nn.Module):
                     tile_rows=tile_rows)
         return canny_edges(gray, self.canny_low, self.canny_high)
 
-    @nn.compact
     def __call__(self, x, train: bool = True, return_att: bool = False):
+        x = x.astype(self.dtype)
+        conv1, conv2, conv3, conv4, conv5 = self.encoder(x, train)
+        del conv1  # tapped for saliency hooks only in the reference
+        return self.decode((conv2, conv3, conv4, conv5), x, train,
+                           return_att)
+
+    def decode(self, taps, x, train: bool = True, return_att: bool = False):
+        """Everything after the encoder: shape stream, edge fusion,
+        dual-attention decoder, classifier head. `taps` = (f2, f3, f4, f5)
+        at 1/4..1/16 resolution; `x` is the network input (for the edge
+        operator). Standalone entry point for the fused-encoder eval path.
+        """
+        conv2, conv3, conv4, conv5 = taps
         h, w = x.shape[1], x.shape[2]
-        dt, act = self.dtype, self.act
+        dt = self.dtype
         x = x.astype(dt)
 
-        # --- Encoder -----------------------------------------------------
-        conv1, conv2, conv3, conv4, conv5 = DenseNetEncoder(
-            dtype=dt, act=act, remat=self.remat, name="encoder")(x, train)
-        del conv1  # tapped for saliency hooks only in the reference
-
         # --- Shape stream (full-res, tiny channels) ----------------------
-        ss = nn.Conv(64, (1, 1), kernel_init=kaiming_normal_out, dtype=dt,
-                     name="d0")(conv2)
+        ss = self.d0(conv2)
         ss = resize_bilinear(ss, (h, w))
-        ss = ResBasicBlock(64, dtype=dt, act=act, name="res1")(ss, train)
-        ss = nn.Conv(32, (1, 1), kernel_init=kaiming_normal_out, dtype=dt,
-                     name="d1")(ss)
-        c3 = resize_bilinear(
-            nn.Conv(1, (1, 1), kernel_init=kaiming_normal_out, dtype=dt,
-                    name="c3")(conv3), (h, w))
-        ss, g1 = GatedSpatialConv(32, dtype=dt, act=act,
-                                  name="gate1")(ss, c3, train)
-        ss = ResBasicBlock(32, dtype=dt, act=act, name="res2")(ss, train)
-        ss = nn.Conv(16, (1, 1), kernel_init=kaiming_normal_out, dtype=dt,
-                     name="d2")(ss)
-        c4 = resize_bilinear(
-            nn.Conv(1, (1, 1), kernel_init=kaiming_normal_out, dtype=dt,
-                    name="c4")(conv4), (h, w))
-        ss, g2 = GatedSpatialConv(16, dtype=dt, act=act,
-                                  name="gate2")(ss, c4, train)
-        ss = ResBasicBlock(16, dtype=dt, act=act, name="res3")(ss, train)
-        ss = nn.Conv(8, (1, 1), kernel_init=kaiming_normal_out, dtype=dt,
-                     name="d3")(ss)
-        c5 = resize_bilinear(
-            nn.Conv(1, (1, 1), kernel_init=kaiming_normal_out, dtype=dt,
-                    name="c5")(conv5), (h, w))
-        ss, g3 = GatedSpatialConv(8, dtype=dt, act=act,
-                                  name="gate3")(ss, c5, train)
-        ss = nn.Conv(1, (1, 1), use_bias=False,
-                     kernel_init=kaiming_normal_out, dtype=dt,
-                     name="fuse")(ss)
+        ss = self.res1(ss, train)
+        ss = self.d1(ss)
+        c3 = resize_bilinear(self.c3(conv3), (h, w))
+        ss, g1 = self.gate1(ss, c3, train)
+        ss = self.res2(ss, train)
+        ss = self.d2(ss)
+        c4 = resize_bilinear(self.c4(conv4), (h, w))
+        ss, g2 = self.gate2(ss, c4, train)
+        ss = self.res3(ss, train)
+        ss = self.d3(ss)
+        c5 = resize_bilinear(self.c5(conv5), (h, w))
+        ss, g3 = self.gate3(ss, c5, train)
+        ss = self.fuse(ss)
         edge_out = nn.sigmoid(ss.astype(jnp.float32))
 
         # --- On-device edge detection (replaces CPU Canny) ---------------
@@ -126,45 +166,37 @@ class SAUNet(nn.Module):
         canny = jax.lax.stop_gradient(self._canny(gray)).astype(dt)
 
         cat = jnp.concatenate([edge_out.astype(dt), canny], axis=-1)
-        acts = nn.Conv(1, (1, 1), use_bias=False,
-                       kernel_init=kaiming_normal_out, dtype=dt,
-                       name="cw")(cat)
-        acts = nn.sigmoid(acts)
-        edge = ConvBNRelu(self.num_filters, kernel=1, dtype=dt, act=act,
-                          name="expand")(acts, train)
+        acts = nn.sigmoid(self.cw(cat))
+        edge = self.expand(acts, train)
 
         # --- Decoder (dual attention) ------------------------------------
-        conv2u = resize_bilinear(conv2, (conv2.shape[1] * 2, conv2.shape[2] * 2))
-        conv3u = resize_bilinear(conv3, (conv3.shape[1] * 2, conv3.shape[2] * 2))
-        conv4u = resize_bilinear(conv4, (conv4.shape[1] * 2, conv4.shape[2] * 2))
+        conv2u = resize_bilinear(conv2,
+                                 (conv2.shape[1] * 2, conv2.shape[2] * 2))
+        conv3u = resize_bilinear(conv3,
+                                 (conv3.shape[1] * 2, conv3.shape[2] * 2))
+        conv4u = resize_bilinear(conv4,
+                                 (conv4.shape[1] * 2, conv4.shape[2] * 2))
 
-        center = ConvBNRelu(self.num_filters * 16, kernel=3, dtype=dt,
-                            act=act, name="center")(max_pool_2x2(conv5), train)
-        dec5, att5 = DualAttBlock(512, dtype=dt, act=act,
-                                  name="dec5")([center, conv5], train)
-        dec4, att4 = DualAttBlock(256, dtype=dt, act=act,
-                                  name="dec4")([dec5, conv4u], train)
-        dec3, att3 = DualAttBlock(128, dtype=dt, act=act,
-                                  name="dec3")([dec4, conv3u], train)
-        dec2, att2 = DualAttBlock(64, dtype=dt, act=act,
-                                  name="dec2")([dec3, conv2u], train)
-        dec1 = DecoderBlock(48, self.num_filters, dtype=dt, act=act,
-                            name="dec1")(dec2, train)
-        dec0 = ConvBNRelu(self.num_filters, kernel=3, dtype=dt, act=act,
-                          name="dec0")(jnp.concatenate([dec1, edge], axis=-1),
-                                       train)
+        center = self.center(max_pool_2x2(conv5), train)
+        dec5, att5 = self.dec5([center, conv5], train)
+        dec4, att4 = self.dec4([dec5, conv4u], train)
+        dec3, att3 = self.dec3([dec4, conv3u], train)
+        dec2, att2 = self.dec2([dec3, conv2u], train)
+        dec1 = self.dec1(dec2, train)
+        dec0 = self.dec0(jnp.concatenate([dec1, edge], axis=-1), train)
 
-        x_out = nn.Conv(self.num_classes, (1, 1),
-                        kernel_init=kaiming_normal_out, dtype=dt,
-                        name="final")(dec0)
-        x_out = x_out.astype(jnp.float32)
+        x_out = self.final(dec0).astype(jnp.float32)
 
         if return_att:
             atts = [
-                resize_bilinear(att2, (att2.shape[1] * 2, att2.shape[2] * 2)),
-                resize_bilinear(att3, (att3.shape[1] * 4, att3.shape[2] * 4)),
-                resize_bilinear(att4, (att4.shape[1] * 8, att4.shape[2] * 8)),
-                resize_bilinear(att5, (att5.shape[1] * 16, att5.shape[2] * 16)),
+                resize_bilinear(att2, (att2.shape[1] * 2,
+                                       att2.shape[2] * 2)),
+                resize_bilinear(att3, (att3.shape[1] * 4,
+                                       att3.shape[2] * 4)),
+                resize_bilinear(att4, (att4.shape[1] * 8,
+                                       att4.shape[2] * 8)),
+                resize_bilinear(att5, (att5.shape[1] * 16,
+                                       att5.shape[2] * 16)),
                 g1, g2, g3,
             ]
             return x_out, edge_out, atts

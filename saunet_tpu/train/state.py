@@ -127,20 +127,54 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
+def _use_fused_encoder(model, fused_encoder) -> bool:
+    """Fused-encoder dispatch: Pallas dense-block kernels at eval time.
+
+    'auto' enables it on TPU for bf16 SAUNet-style models (the kernel keeps
+    bf16 feature maps VMEM-resident; f32 doubles the working set and is the
+    CPU/test configuration anyway)."""
+    if fused_encoder is True:
+        return True
+    return (
+        fused_encoder == "auto"
+        and jax.default_backend() not in ("cpu", "gpu")
+        and getattr(model, "dtype", None) == jnp.bfloat16
+        and hasattr(model, "decode")
+    )
+
+
+def _fused_forward(model, state, images, return_att: bool = False):
+    """Eval forward = fused Pallas encoder + standalone decoder apply."""
+    from ..models.fused_encoder import encoder_apply_fused
+
+    _, f2, f3, f4, f5 = encoder_apply_fused(
+        state.params["encoder"], state.batch_stats["encoder"], images,
+        dtype=model.dtype)
+    return model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        (f2, f3, f4, f5), images, False, return_att, method="decode")
+
+
 def make_eval_step(model, num_class: int = 4,
-                   class_weights=DEFAULT_CLASS_WEIGHTS):
+                   class_weights=DEFAULT_CLASS_WEIGHTS,
+                   fused_encoder="auto"):
     """Jitted eval step: softmax probs + loss + in-graph IoU ingredients.
 
     Replaces the reference's per-sample python eval loop
     (/root/reference/train.py:25-64) — slices are batched and metrics are
     computed on-device.
     """
+    fused = _use_fused_encoder(model, fused_encoder)
 
     def step_fn(state: TrainState, batch: dict):
-        seg, edge = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"], train=False,
-        )
+        if fused:
+            seg, edge = _fused_forward(model, state, batch["image"])
+        else:
+            seg, edge = model.apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                batch["image"], train=False,
+            )
         total, parts = dual_loss(seg, edge, batch["label"], batch["edge"],
                                  class_weights)
         probs = jax.nn.softmax(seg, axis=-1)
@@ -154,15 +188,20 @@ def make_eval_step(model, num_class: int = 4,
     return jax.jit(step_fn)
 
 
-def make_infer_step(model):
+def make_infer_step(model, fused_encoder="auto"):
     """Jitted inference: (probs, preds) from images only — the
     test_and_pack forward path, batched over z-slices."""
+    fused = _use_fused_encoder(model, fused_encoder)
 
     def step_fn(state: TrainState, images):
-        seg, edge = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images, train=False,
-        )
+        if fused:
+            seg, edge = _fused_forward(model, state, images)
+        else:
+            seg, edge = model.apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                images, train=False,
+            )
         probs = jax.nn.softmax(seg, axis=-1)
         return probs, jnp.argmax(seg, axis=-1), edge
 

@@ -126,6 +126,43 @@ def test_augment_shapes_and_stats():
     assert not np.array_equal(np.asarray(out3["image"]), img)
 
 
+def test_lowres_elastic_field_statistics():
+    """The stride-4 elastic field (draw + blur at 1/4 res, bilinear
+    upsample, 1/s amplitude rescale) matches the full-resolution
+    reference pipeline's per-pixel std and smoothness."""
+    from saunet_tpu.data.augment import (
+        ELASTIC_ALPHA,
+        ELASTIC_SIGMA,
+        _gaussian_filter2d,
+    )
+
+    h = w = 128
+    s = 4
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 16)
+
+    def full_res(k):
+        f = jax.random.uniform(k, (1, h, w)) * 2 - 1
+        return _gaussian_filter2d(f, ELASTIC_SIGMA)[0] * ELASTIC_ALPHA
+
+    def low_res(k):
+        f = jax.random.uniform(k, (1, h // s, w // s)) * 2 - 1
+        g = _gaussian_filter2d(f, ELASTIC_SIGMA / s)[0]
+        return jax.image.resize(g, (h, w), "linear") * (ELASTIC_ALPHA / s)
+
+    fr = np.asarray(jax.vmap(full_res)(ks))
+    lr = np.asarray(jax.vmap(low_res)(ks))
+    # interior only: the two pipelines handle borders differently
+    c = slice(32, 96)
+    std_fr = fr[:, c, c].std()
+    std_lr = lr[:, c, c].std()
+    assert abs(std_lr - std_fr) / std_fr < 0.15, (std_fr, std_lr)
+    # same smoothness: neighbour-difference std scales with 1/correlation
+    d_fr = np.diff(fr[:, c, c], axis=-1).std()
+    d_lr = np.diff(lr[:, c, c], axis=-1).std()
+    assert abs(d_lr - d_fr) / d_fr < 0.25, (d_fr, d_lr)
+
+
 def test_packed_warp_matches_reference_samplers():
     """The single-gather packed warp == the independent bilinear/nearest
     samplers (bf16 taps give <= 2^-8 relative error on the image; labels
