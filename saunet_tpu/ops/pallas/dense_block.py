@@ -51,7 +51,8 @@ def fold_dense_block_params(params: Dict[str, Any], stats: Dict[str, Any],
       a1, b1: (L, 1, Cmax)  norm1 affine (bf16; zero-padded lanes)
       w1:     (L, Cmax, HIDDEN) bf16, conv1 kernel with norm2 scale folded
       b2:     (L, 1, HIDDEN) f32, norm2 shift
-      w2:     (L, 9, HIDDEN, GROWTH) bf16, conv2 taps row-major (dy, dx)
+      w2:     (L, HIDDEN, 9*GROWTH) bf16, the 9 conv2 taps side by side
+              (row-major (dy, dx) order)
     """
     cmax = c0 + num_layers * GROWTH
     a1s, b1s, w1s, b2s, w2s = [], [], [], [], []
@@ -74,7 +75,9 @@ def fold_dense_block_params(params: Dict[str, Any], stats: Dict[str, Any],
         b2s.append((n2b - n2m * a2)[None])
 
         w2 = lp["conv2"]["kernel"]  # (3, 3, HIDDEN, GROWTH)
-        w2s.append(w2.reshape(9, HIDDEN, GROWTH))
+        # all 9 taps side by side: one (HIDDEN, 9*GROWTH) matmul per layer
+        w2s.append(w2.reshape(9, HIDDEN, GROWTH).transpose(1, 0, 2)
+                   .reshape(HIDDEN, 9 * GROWTH))
     return {
         "a1": jnp.stack(a1s).astype(jnp.bfloat16),
         "b1": jnp.stack(b1s).astype(jnp.bfloat16),
@@ -85,7 +88,7 @@ def fold_dense_block_params(params: Dict[str, Any], stats: Dict[str, Any],
 
 
 def _dense_block_kernel(num_layers: int, c0: int, h: int, w: int,
-                        band_rows: int, halo_rows: int,
+                        band_rows: int, halo_rows: int, nbands: int,
                         x_ref, a1_ref, b1_ref, w1_ref, b2_ref, w2_ref,
                         out_ref, x0_ref, xcat_ref, sem, osem):
     """One (batch, band) program. xcat scratch: (band+2*halo rows)·W x Cmax.
@@ -105,9 +108,12 @@ def _dense_block_kernel(num_layers: int, c0: int, h: int, w: int,
     # caller's px/channel padding), then seed the concat scratch: input
     # channels + zeros (padded matmul lanes must multiply clean zeros,
     # not uninitialised VMEM).
+    # literal 0 offset when there is a single band: Mosaic must PROVE the
+    # traced offset is tile-aligned, which b*band_px cannot be when band_px
+    # itself is unaligned (e.g. a padded whole map)
+    src_off = 0 if nbands == 1 else b * band_rows * w
     dma = pltpu.make_async_copy(
-        x_ref.at[pl.program_id(0),
-                 pl.ds(b * band_rows * w, hw), :],
+        x_ref.at[pl.program_id(0), pl.ds(src_off, hw), :],
         x0_ref, sem)
     dma.start()
     xcat_ref[:, c0:] = jnp.zeros((hw, cmax - c0), jnp.bfloat16)
@@ -123,7 +129,7 @@ def _dense_block_kernel(num_layers: int, c0: int, h: int, w: int,
     def dest_mask(dy, dx):
         ok_r = ((grow + dy >= halo_rows) & (grow + dy < halo_rows + h))
         ok_c = (gcol + dx >= 0) & (gcol + dx < w)
-        return (ok_r & ok_c).astype(jnp.bfloat16)
+        return (ok_r & ok_c).astype(jnp.float32)
 
     masks = {(dy, dx): dest_mask(dy, dx)
              for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
@@ -141,33 +147,40 @@ def _dense_block_kernel(num_layers: int, c0: int, h: int, w: int,
             t = p if t is None else t + p
         s = jnp.maximum(t + b2_ref[l], 0).astype(jnp.bfloat16)
 
+        # one matmul for all 9 taps, then roll/mask the cheap (hw, G)
+        # products: rolls (row permutations) and (hw, 1) masks commute
+        # with the row-wise matmul, so this is exactly the masked-input
+        # 3x3 conv at ~1/4 the VPU work.
+        taps = jnp.dot(s, w2_ref[l], preferred_element_type=jnp.float32)
         acc = None
         for tap, (dy, dx) in enumerate(
                 (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)):
             off = dy * w + dx
-            sh = jnp.roll(s, -off, axis=0) if off else s
+            sl = taps[:, tap * GROWTH:(tap + 1) * GROWTH]
+            sh = jnp.roll(sl, -off, axis=0) if off else sl
             sh = sh * masks[(dy, dx)]
-            p = jnp.dot(sh, w2_ref[l, tap],
-                        preferred_element_type=jnp.float32)
-            acc = p if acc is None else acc + p
+            acc = sh if acc is None else acc + sh
         xcat_ref[:, cl:cl + GROWTH] = acc.astype(jnp.bfloat16)
 
+    dst_off = 0 if nbands == 1 else b * band_rows * w
     odma = pltpu.make_async_copy(
         xcat_ref.at[pl.ds(halo_rows * w, hw_out), :],
-        out_ref.at[pl.program_id(0),
-                   pl.ds(b * band_rows * w, hw_out), :],
+        out_ref.at[pl.program_id(0), pl.ds(dst_off, hw_out), :],
         osem)
     odma.start()
     odma.wait()
 
 
 def pick_band_rows(h: int, w: int, c0: int, num_layers: int,
-                   vmem_budget_bytes: int = 12 * 1024 * 1024):
+                   vmem_budget_bytes: int = 20 * 1024 * 1024):
     """Largest divisor of H whose halo'd band fits VMEM.
 
-    Live set of the chunked kernel: concat scratch (hw x Cmax bf16), input
-    staging (hw x C0 bf16), ~6 (hw x HIDDEN) mixed-precision temporaries
-    (u/t/s/shifted/acc + mosaic slack), and the stacked layer params."""
+    Estimates the chunked kernel's live set: concat scratch (hw x Cmax
+    bf16), input staging, ~6 (hw x HIDDEN) mixed-precision temporaries, and
+    the stacked layer params. Mosaic's stack allocator measures ~2.3x this
+    estimate (unshared unrolled temporaries), so the 20 MiB budget
+    corresponds to the kernel's 100 MiB vmem_limit_bytes with headroom —
+    calibrated on v5e (block2 whole-map: est 11.3M, real 25.9M, runs)."""
     cmax = c0 + num_layers * GROWTH
     halo = num_layers
     params = (num_layers * cmax * HIDDEN * 2
@@ -225,7 +238,7 @@ def dense_block_fused(x: jnp.ndarray, params: Dict[str, Any],
     hw_total = h * w + px_pad
 
     kernel = functools.partial(_dense_block_kernel, num_layers, c0, h, w,
-                               band_rows, halo_rows)
+                               band_rows, halo_rows, nbands)
     out = pl.pallas_call(
         kernel,
         grid=(n, nbands),
@@ -239,8 +252,8 @@ def dense_block_fused(x: jnp.ndarray, params: Dict[str, Any],
                          lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, 1, HIDDEN), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 9, HIDDEN, GROWTH),
-                         lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((num_layers, HIDDEN, 9 * GROWTH),
+                         lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
