@@ -132,18 +132,11 @@ class SAUNet(nn.Module):
         return self.decode((conv2, conv3, conv4, conv5), x, train,
                            return_att)
 
-    def decode(self, taps, x, train: bool = True, return_att: bool = False):
-        """Everything after the encoder: shape stream, edge fusion,
-        dual-attention decoder, classifier head. `taps` = (f2, f3, f4, f5)
-        at 1/4..1/16 resolution; `x` is the network input (for the edge
-        operator). Standalone entry point for the fused-encoder eval path.
-        """
+    def shape_stream(self, taps, x, train: bool = True):
+        """The gated full-resolution shape stream: (f2..f5, x) ->
+        (edge_out f32 in (0,1), (g1, g2, g3) gate maps)."""
         conv2, conv3, conv4, conv5 = taps
         h, w = x.shape[1], x.shape[2]
-        dt = self.dtype
-        x = x.astype(dt)
-
-        # --- Shape stream (full-res, tiny channels) ----------------------
         ss = self.d0(conv2)
         ss = resize_bilinear(ss, (h, w))
         ss = self.res1(ss, train)
@@ -159,7 +152,41 @@ class SAUNet(nn.Module):
         c5 = resize_bilinear(self.c5(conv5), (h, w))
         ss, g3 = self.gate3(ss, c5, train)
         ss = self.fuse(ss)
-        edge_out = nn.sigmoid(ss.astype(jnp.float32))
+        return nn.sigmoid(ss.astype(jnp.float32)), (g1, g2, g3)
+
+    def shape_stream_inputs(self, taps, x):
+        """XLA precompute for the fused shape-stream kernel: the resized
+        64-ch projection of f2 plus the three 1-ch texture cues, packed
+        into ONE (N, H, W, 67) tensor so only a single full-resolution
+        XLA pass exists (narrow-channel tensors pad to 128 lanes in HBM,
+        so each separate full-res map would cost a full padded pass)."""
+        conv2, conv3, conv4, conv5 = taps
+        h, w = x.shape[1], x.shape[2]
+        r0 = resize_bilinear(self.d0(conv2), (h, w))
+        c3 = resize_bilinear(self.c3(conv3), (h, w))
+        c4 = resize_bilinear(self.c4(conv4), (h, w))
+        c5 = resize_bilinear(self.c5(conv5), (h, w))
+        return jnp.concatenate([r0, c3, c4, c5], axis=-1)
+
+    def decode(self, taps, x, train: bool = True, return_att: bool = False,
+               edge_out=None):
+        """Everything after the encoder: shape stream, edge fusion,
+        dual-attention decoder, classifier head. `taps` = (f2, f3, f4, f5)
+        at 1/4..1/16 resolution; `x` is the network input (for the edge
+        operator). Standalone entry point for the fused-encoder eval path;
+        `edge_out` short-circuits the shape stream when the fused Pallas
+        kernel already produced it (eval only, no gate maps).
+        """
+        conv2, conv3, conv4, conv5 = taps
+        dt = self.dtype
+        x = x.astype(dt)
+
+        # --- Shape stream (full-res, tiny channels) ----------------------
+        if edge_out is None:
+            edge_out, (g1, g2, g3) = self.shape_stream(taps, x, train)
+        elif return_att:
+            raise ValueError("return_att needs the XLA shape stream "
+                             "(gate maps); do not pass edge_out")
 
         # --- On-device edge detection (replaces CPU Canny) ---------------
         gray = image_to_gray255(x)

@@ -144,15 +144,21 @@ def _use_fused_encoder(model, fused_encoder) -> bool:
 
 
 def _fused_forward(model, state, images, return_att: bool = False):
-    """Eval forward = fused Pallas encoder + standalone decoder apply."""
+    """Eval forward = fused Pallas encoder + standalone decoder apply.
+
+    The shape stream deliberately stays XLA: a fused Pallas version
+    (ops/pallas/shape_stream.py) measures 87ms vs XLA's 35.9ms at
+    b64/224² — its 8-64 channel matmuls pad the MXU contraction dim to
+    128, and that waste dominates anything saved on HBM lane padding.
+    Kept (tested, off by default) as a documented negative result."""
     from ..models.fused_encoder import encoder_apply_fused
 
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
     _, f2, f3, f4, f5 = encoder_apply_fused(
         state.params["encoder"], state.batch_stats["encoder"], images,
         dtype=model.dtype)
-    return model.apply(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        (f2, f3, f4, f5), images, False, return_att, method="decode")
+    return model.apply(variables, (f2, f3, f4, f5), images, False,
+                       return_att, method="decode")
 
 
 def make_eval_step(model, num_class: int = 4,
