@@ -45,6 +45,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     augment = os.environ.get("BENCH_AUGMENT", "0") == "1"
+    donate = os.environ.get("BENCH_DONATE", "0") == "1"
 
     from saunet_tpu.train import make_infer_step
 
@@ -82,7 +83,7 @@ def main():
             from saunet_tpu.data import make_augment_fn
             augment_fn = make_augment_fn(num_classes=4)
             b = {"image": b["image"][..., 0], "label": b["label"]}
-        step = make_train_step(model, tx, donate=False,
+        step = make_train_step(model, tx, donate=donate,
                                augment_fn=augment_fn)
         state, metrics = step(state, b, rng)
         jax.block_until_ready(metrics["loss"])

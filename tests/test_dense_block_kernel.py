@@ -110,3 +110,18 @@ def test_pick_band_rows():
     assert b1 is not None and 112 % b1 == 0 and b1 < 112
     assert pick_band_rows(28, 28, 256, 24) == 28
     assert pick_band_rows(14, 14, 512, 16) == 14
+
+
+def test_fused_encoder_dispatch_gate():
+    """'auto' never engages the Pallas encoder on CPU (or for f32
+    models); explicit True always does."""
+    from saunet_tpu.models import SAUNet
+    from saunet_tpu.train.state import _use_fused_encoder
+
+    assert jax.default_backend() == "cpu"
+    bf16 = SAUNet(num_classes=4, dtype=jnp.bfloat16)
+    f32 = SAUNet(num_classes=4)
+    assert _use_fused_encoder(bf16, "auto") is False  # cpu backend
+    assert _use_fused_encoder(f32, True) is True
+    assert not _use_fused_encoder(f32, "auto")
+    assert not _use_fused_encoder(bf16, False)
