@@ -138,6 +138,10 @@ def _use_fused_encoder(model, fused_encoder) -> bool:
     return (
         fused_encoder == "auto"
         and jax.default_backend() not in ("cpu", "gpu")
+        # pallas_call is not partitionable by jit auto-sharding: on a
+        # multi-device mesh the XLA encoder stays (a shard_map wrapper
+        # over the kernels is the future multi-chip path)
+        and len(jax.devices()) == 1
         and getattr(model, "dtype", None) == jnp.bfloat16
         and hasattr(model, "decode")
     )
