@@ -125,3 +125,17 @@ def test_fused_encoder_dispatch_gate():
     assert _use_fused_encoder(f32, True) is True
     assert not _use_fused_encoder(f32, "auto")
     assert not _use_fused_encoder(bf16, False)
+
+
+def test_fused_whole_map_pixel_padding():
+    """H*W not a multiple of 8 exercises the flat-pixel padding path
+    (8-aligned DMA extents, masked pad rows, output slice)."""
+    block, params, stats, x = _make_block(num_layers=2, c0=64, hw=6,
+                                          seed=3)
+    ref = block.apply({"params": params, "batch_stats": stats}, x, False)
+    out = dense_block_fused(x, params, stats, num_layers=2,
+                            interpret=True)
+    ref = np.asarray(ref, np.float32)
+    out = np.asarray(out, np.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=0.05 * np.abs(ref).max())
