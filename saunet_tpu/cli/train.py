@@ -50,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--unet_arch", default="saunet")
     p.add_argument("--weights_unet", default="",
                    help="checkpoint to warm-start weights from")
+    p.add_argument("--pretrained", default="",
+                   help="torchvision densenet121 state_dict (.npz from "
+                        "tools/convert_torchvision.py, or torch .pth) to "
+                        "load into the encoder — the reference's ImageNet "
+                        "warm start")
     # paths
     p.add_argument("--data-root", dest="data_root", type=str,
                    default=os.getenv("DATA_ROOT", ""))
@@ -130,10 +135,14 @@ def evaluate(eval_step, prep, state, mesh, images, labels, batch_size,
         sel_p = np.concatenate([sel, np.repeat(sel[-1:], pad)]) if pad else sel
         img, edge = prep(jnp.asarray(images[sel_p]),
                          jnp.asarray(labels[sel_p]))
+        valid = np.ones(len(sel_p), np.float32)
+        if pad:
+            valid[len(sel):] = 0.0  # mask the repeated padding samples
         batch = shard_batch(
             {"image": np.asarray(img),
              "label": labels[sel_p].astype(np.int32),
-             "edge": np.asarray(edge)}, mesh)
+             "edge": np.asarray(edge),
+             "valid": valid}, mesh)
         probs, preds, metrics = eval_step(state, batch)
         preds = np.asarray(preds)[:len(sel)]
         loss_meter.update(float(metrics["loss"]), weight=len(sel))
@@ -183,6 +192,10 @@ def main(argv=None):
     state = create_train_state(model, tx, rng,
                                input_shape=(1, args.crop_size,
                                             args.crop_size, 3))
+    if args.pretrained:
+        from ..models.densenet import load_pretrained_encoder
+        state = load_pretrained_encoder(args.pretrained, state)
+        print(f"Loaded pretrained encoder weights from {args.pretrained}.")
     if args.weights_unet:
         state = restore_params_only(args.weights_unet, state)
         print("Loaded pretrained UNet weights.")
@@ -201,7 +214,7 @@ def main(argv=None):
     augment = make_augment_fn(num_classes=args.num_class,
                               enable_deform=not args.no_deform)
     train_step = make_train_step(model, tx, num_class=args.num_class,
-                                 augment_fn=augment)
+                                 augment_fn=augment, fix_bn=args.fix_bn)
     eval_step = make_eval_step(model, num_class=args.num_class)
     prep = jax.jit(lambda im, lb: (normalize_for_eval(im),
                                    edge_ground_truth(lb, args.num_class)))

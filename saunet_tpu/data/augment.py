@@ -223,6 +223,10 @@ def _warp_image_label_packed(imgs: jnp.ndarray, labels: jnp.ndarray,
     img_w = jnp.where(inside, img_w, 0.0)
 
     byte = g[..., 4].astype(jnp.int32)
+    # nearest-label selection via fy/fx >= 0.5 (round half up); the unpacked
+    # sampler uses jnp.round (half to even), so an exact .5 source coordinate
+    # could pick the other neighbour — unreachable in practice, since warp
+    # coordinates are continuous random draws
     shift = (jnp.where(fy >= 0.5, 4, 0) + jnp.where(fx >= 0.5, 2, 0))
     lab = jnp.right_shift(byte, shift) & 3
     lab = jnp.where(inside, lab, 0)

@@ -129,6 +129,68 @@ class DenseNetEncoder(nn.Module):
         return f1, f2, f3, f4, f5
 
 
+def _iter_state_dict(state_dict):
+    """(name, value) pairs; torchvision<=0.3 densenet checkpoints use
+    `norm.1`-style dotted indices which newer loaders re-join — normalise
+    the legacy pattern `normN.M` back to `normN` etc. (no-op for modern
+    names)."""
+    import re
+    for name, v in state_dict.items():
+        name = re.sub(r"\.(norm|relu|conv)\.(\d+)\.", r".\1\2.", name)
+        yield name, v
+
+
+def load_state_dict_file(path: str) -> dict:
+    """name -> numpy array from an .npz archive (tools/convert_torchvision)
+    or a torch .pth/.pt checkpoint (loaded CPU-side)."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
+
+
+def load_pretrained_encoder(path: str, state):
+    """Graft torchvision densenet121 ImageNet weights onto a TrainState's
+    encoder subtree — the reference's unconditional pretrained load
+    (/root/reference/models/models.py:271), done explicitly because this
+    environment has no network egress.
+
+    `path`: .npz (see tools/convert_torchvision.py) or torch .pth.
+    Returns a new state with params['encoder'] / batch_stats['encoder']
+    replaced; every leaf is shape-checked against the fresh-init tree and
+    cast to its dtype.
+    """
+    import jax
+    import numpy as np
+
+    ported = port_torchvision_state_dict(load_state_dict_file(path))
+
+    def graft(tree, new, where):
+        def one(tgt, src):
+            src = np.asarray(src)
+            if tuple(tgt.shape) != tuple(src.shape):
+                raise ValueError(
+                    f"pretrained {where} leaf shape {src.shape} != model "
+                    f"{tuple(tgt.shape)}")
+            return jnp.asarray(src, dtype=tgt.dtype)
+
+        return jax.tree.map(one, tree, new)
+
+    params = dict(state.params)
+    params["encoder"] = graft(state.params["encoder"], ported["params"],
+                              "params")
+    stats = dict(state.batch_stats)
+    stats["encoder"] = graft(state.batch_stats["encoder"],
+                             ported["batch_stats"], "batch_stats")
+    return state.replace(params=params, batch_stats=stats)
+
+
 def port_torchvision_state_dict(state_dict) -> dict:
     """Map a torchvision densenet121 `state_dict` (name -> numpy array, OIHW
     conv kernels) onto this encoder's {'params', 'batch_stats'} pytrees.
@@ -151,7 +213,7 @@ def port_torchvision_state_dict(state_dict) -> dict:
     def conv_w(v):
         return np.transpose(np.asarray(v), (2, 3, 1, 0))  # OIHW -> HWIO
 
-    for name, v in state_dict.items():
+    for name, v in _iter_state_dict(state_dict):
         if not name.startswith("features."):
             continue
         parts = name[len("features."):].split(".")

@@ -31,6 +31,26 @@ def _bn_affine(x: Array, p: Dict[str, Array], s: Dict[str, Array],
     return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
+def _dense_block_xla(h: Array, bp: Dict[str, Any], bs: Dict[str, Any],
+                     num_layers: int, eps: float, dtype) -> Array:
+    """Eval-mode dense block via plain XLA convs (BN folded from running
+    stats) — the fallback when no Pallas band configuration fits VMEM or
+    satisfies the kernel's DMA alignment contract."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    for l in range(num_layers):
+        lp, ls = bp[f"denselayer{l + 1}"], bs[f"denselayer{l + 1}"]
+        u = jax.nn.relu(_bn_affine(h, lp["norm1"], ls["norm1"], eps))
+        t = jax.lax.conv_general_dilated(
+            u, lp["conv1"]["kernel"].astype(dtype), (1, 1), "VALID",
+            dimension_numbers=dn)
+        t = jax.nn.relu(_bn_affine(t, lp["norm2"], ls["norm2"], eps))
+        new = jax.lax.conv_general_dilated(
+            t, lp["conv2"]["kernel"].astype(dtype), (1, 1), "SAME",
+            dimension_numbers=dn)
+        h = jnp.concatenate([h, new], axis=-1)
+    return h
+
+
 def encoder_apply_fused(params: Dict[str, Any], stats: Dict[str, Any],
                         x: Array, dtype=jnp.bfloat16,
                         interpret: bool = False
@@ -57,10 +77,16 @@ def encoder_apply_fused(params: Dict[str, Any], stats: Dict[str, Any],
         bs = stats[f"denseblock{i + 1}"]
         band = pick_band_rows(h.shape[1], h.shape[2], h.shape[3],
                               num_layers)
-        h = dense_block_fused(h, bp, bs, num_layers=num_layers, eps=eps,
-                              band_rows=None if band in (None, h.shape[1])
-                              else band,
-                              interpret=interpret)
+        if band is None:
+            # no band fits VMEM / satisfies alignment: whole-map mode would
+            # be the configuration already known not to fit, so use XLA
+            h = _dense_block_xla(h, bp, bs, num_layers, eps, dtype)
+        else:
+            h = dense_block_fused(
+                h, bp, bs, num_layers=num_layers, eps=eps,
+                band_rows=None if band == h.shape[1] else band,
+                interpret=interpret,
+            ).astype(dtype)  # kernel emits bf16; keep f32 models consistent
         if i != len(DENSENET121_BLOCKS) - 1:
             tp = params[f"transition{i + 1}"]
             ts = stats[f"transition{i + 1}"]

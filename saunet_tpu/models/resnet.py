@@ -128,6 +128,78 @@ class ResNet(nn.Module):
         return c1, c2, c3, c4, c5
 
 
+def port_resnet_state_dict(state_dict) -> dict:
+    """Map an MIT-CSAIL/torchvision deep-stem ResNet `state_dict`
+    (name -> numpy array, OIHW conv kernels) onto this trunk's
+    {'params', 'batch_stats'} pytrees — the porting hook mirroring
+    `densenet.port_torchvision_state_dict` for the reference's `load_url`
+    pretrained path (/root/reference/models/resnet.py:220-228).
+
+    Naming handled (the reference's 3-conv stem variant, resnet.py:103-112):
+      conv1/bn1..conv3/bn3            -> stem_conv1/stem_bn1..3
+      layerS.B.convK / .bnK           -> layerS_block{B+1}.convK/.bnK
+      layerS.B.downsample.0 / .1      -> layerS_block{B+1}.down_conv/_bn
+    The classifier head (fc.*) is ignored.
+    """
+    import re
+
+    import numpy as np
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv_w(v):
+        return np.transpose(np.asarray(v), (2, 3, 1, 0))  # OIHW -> HWIO
+
+    def put_bn(mod_path, field, v):
+        if field == "weight":
+            put(params, mod_path + ("scale",), v)
+        elif field == "bias":
+            put(params, mod_path + ("bias",), v)
+        elif field == "running_mean":
+            put(stats, mod_path + ("mean",), v)
+        elif field == "running_var":
+            put(stats, mod_path + ("var",), v)
+
+    for name, v in state_dict.items():
+        v = np.asarray(v)
+        m = re.match(r"^conv([123])\.weight$", name)
+        if m:
+            put(params, (f"stem_conv{m.group(1)}", "kernel"), conv_w(v))
+            continue
+        m = re.match(r"^bn([123])\.(\w+)$", name)
+        if m:
+            put_bn((f"stem_bn{m.group(1)}",), m.group(2), v)
+            continue
+        m = re.match(r"^layer(\d+)\.(\d+)\.(.+)$", name)
+        if not m:
+            continue  # fc head, num_batches_tracked at top level
+        block = f"layer{m.group(1)}_block{int(m.group(2)) + 1}"
+        rest = m.group(3)
+        mm = re.match(r"^conv(\d)\.weight$", rest)
+        if mm:
+            put(params, (block, f"conv{mm.group(1)}", "kernel"), conv_w(v))
+            continue
+        mm = re.match(r"^bn(\d)\.(\w+)$", rest)
+        if mm:
+            put_bn((block, f"bn{mm.group(1)}"), mm.group(2), v)
+            continue
+        mm = re.match(r"^downsample\.0\.weight$", rest)
+        if mm:
+            put(params, (block, "down_conv", "kernel"), conv_w(v))
+            continue
+        mm = re.match(r"^downsample\.1\.(\w+)$", rest)
+        if mm:
+            put_bn((block, "down_bn"), mm.group(1), v)
+    return {"params": params, "batch_stats": stats}
+
+
 def resnet18(**kw) -> ResNet:
     return ResNet(block=BasicBlockStride, layers=(2, 2, 2, 2), **kw)
 

@@ -173,22 +173,30 @@ def _dense_block_kernel(num_layers: int, c0: int, h: int, w: int,
 
 def pick_band_rows(h: int, w: int, c0: int, num_layers: int,
                    vmem_budget_bytes: int = 20 * 1024 * 1024):
-    """Largest divisor of H whose halo'd band fits VMEM.
+    """Largest divisor of H whose halo'd band fits VMEM, or None.
 
     Estimates the chunked kernel's live set: concat scratch (hw x Cmax
     bf16), input staging, ~6 (hw x HIDDEN) mixed-precision temporaries, and
     the stacked layer params. Mosaic's stack allocator measures ~2.3x this
     estimate (unshared unrolled temporaries), so the 20 MiB budget
     corresponds to the kernel's 100 MiB vmem_limit_bytes with headroom —
-    calibrated on v5e (block2 whole-map: est 11.3M, real 25.9M, runs)."""
+    calibrated on v5e (block2 whole-map: est 11.3M, real 25.9M, runs).
+
+    Banded candidates that violate the kernel's DMA alignment contract —
+    both the band extent (band*W) and the full halo'd scratch extent
+    ((band + 2*halo)*W) must be multiples of 8 sublanes — are skipped, so
+    the caller never trips `dense_block_fused`'s ValueError; a None return
+    means "no configuration fits, use the XLA path"."""
     cmax = c0 + num_layers * GROWTH
-    halo = num_layers
     params = (num_layers * cmax * HIDDEN * 2
               + num_layers * 9 * HIDDEN * GROWTH * 2)
     for band in range(h, 0, -1):
         if h % band:
             continue
-        hw = (band + (2 * halo if band != h else 0)) * w
+        halo = 0 if band == h else num_layers
+        hw = (band + 2 * halo) * w
+        if halo and ((band * w) % 8 or hw % 8):
+            continue
         need = hw * (cmax * 2 + c0 * 2 + HIDDEN * 12) + params
         if need <= vmem_budget_bytes:
             return band
@@ -218,6 +226,12 @@ def dense_block_fused(x: jnp.ndarray, params: Dict[str, Any],
     if halo_rows and (band_rows * w) % 8:
         raise ValueError("banded mode needs 8-aligned band px; pick a "
                          "band_rows with band_rows*W % 8 == 0")
+    if halo_rows and ((band_rows + 2 * halo_rows) * w) % 8:
+        # the staging DMA copies the full halo'd scratch extent, not just
+        # the band — it must be sublane-aligned too (e.g. odd W with
+        # num_layers=6 makes the 12*W halo term non-8-aligned)
+        raise ValueError("banded mode needs an 8-aligned halo'd scratch "
+                         "extent: ((band_rows + 2*num_layers)*W) % 8 == 0")
 
     # DMA alignment: lane extents must be 128-multiples (pad channels with
     # zeros — they contribute nothing through the zero-padded a1/W1 rows),

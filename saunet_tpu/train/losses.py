@@ -29,23 +29,30 @@ def weighted_cross_entropy(
     logits: jnp.ndarray,  # (N, H, W, C) float
     labels: jnp.ndarray,  # (N, H, W) int
     class_weights=DEFAULT_CLASS_WEIGHTS,
+    sample_mask=None,     # (N,) {0,1}: exclude padded samples
 ) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     labels = labels.astype(jnp.int32)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = jnp.asarray(class_weights, dtype=jnp.float32)[labels]
+    if sample_mask is not None:
+        w = w * sample_mask.astype(jnp.float32)[:, None, None]
     return jnp.sum(w * nll) / jnp.sum(w)
 
 
 def dice_loss(labels: jnp.ndarray, logits: jnp.ndarray,
-              eps: float = 1e-7) -> jnp.ndarray:
+              eps: float = 1e-7, sample_mask=None) -> jnp.ndarray:
     """Soft Dice over softmax probabilities; labels (N,H,W) int,
     logits (N,H,W,C)."""
     logits = logits.astype(jnp.float32)
     num_classes = logits.shape[-1]
     probas = jax.nn.softmax(logits, axis=-1)
     one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)[:, None, None, None]
+        probas = probas * m
+        one_hot = one_hot * m
     dims = (0, 1, 2)  # reduce batch + spatial jointly, keep classes
     intersection = jnp.sum(probas * one_hot, axis=dims)
     cardinality = jnp.sum(probas + one_hot, axis=dims)
@@ -54,7 +61,7 @@ def dice_loss(labels: jnp.ndarray, logits: jnp.ndarray,
 
 
 def edge_bce(edge_probs: jnp.ndarray, edge_targets: jnp.ndarray,
-             eps: float = 1e-7) -> jnp.ndarray:
+             eps: float = 1e-7, sample_mask=None) -> jnp.ndarray:
     """Mean binary cross-entropy on probabilities (post-sigmoid).
 
     eps must stay representable next to 1.0 in float32 (1 - 1e-12 == 1.0
@@ -62,7 +69,20 @@ def edge_bce(edge_probs: jnp.ndarray, edge_targets: jnp.ndarray,
     log terms at -100 for the same reason."""
     p = jnp.clip(edge_probs.astype(jnp.float32), eps, 1.0 - eps)
     t = edge_targets.astype(jnp.float32)
-    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    ll = t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p)
+    if sample_mask is None:
+        return -jnp.mean(ll)
+    m = sample_mask.astype(jnp.float32)
+    px = float(np_prod(ll.shape[1:]))
+    return -jnp.sum(ll * m.reshape((-1,) + (1,) * (ll.ndim - 1))) / (
+        jnp.sum(m) * px)
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
 
 
 def dual_loss(
@@ -71,13 +91,19 @@ def dual_loss(
     seg_targets: jnp.ndarray,  # (N, H, W) int
     edge_targets: jnp.ndarray,  # (N, H, W) or (N, H, W, 1) {0,1}
     class_weights=DEFAULT_CLASS_WEIGHTS,
+    sample_mask=None,          # (N,) {0,1}: exclude padded eval samples
 ) -> Tuple[jnp.ndarray, dict]:
-    """Returns (total, components). total = dice + ce + edge."""
+    """Returns (total, components). total = dice + ce + edge.
+
+    `sample_mask` removes repeated/padded samples from every reduction, so
+    the reported loss on a padded final eval batch equals the loss over the
+    real samples only."""
     if edge_targets.ndim == edge_probs.ndim - 1:
         edge_targets = edge_targets[..., None]
-    ce = weighted_cross_entropy(seg_logits, seg_targets, class_weights)
-    dice = dice_loss(seg_targets, seg_logits)
-    edge = edge_bce(edge_probs, edge_targets)
+    ce = weighted_cross_entropy(seg_logits, seg_targets, class_weights,
+                                sample_mask=sample_mask)
+    dice = dice_loss(seg_targets, seg_logits, sample_mask=sample_mask)
+    edge = edge_bce(edge_probs, edge_targets, sample_mask=sample_mask)
     total = dice + ce + edge
     return total, {"loss": total, "ce": ce, "dice": dice, "edge": edge}
 

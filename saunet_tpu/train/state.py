@@ -81,23 +81,37 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     num_class: int = 4,
                     class_weights=DEFAULT_CLASS_WEIGHTS,
                     augment_fn: Optional[Callable] = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    fix_bn: bool = False):
     """Build the jitted train step.
 
     If `augment_fn(rng, batch) -> batch` is given, on-device augmentation is
     fused into the same compiled program as the forward/backward pass — the
     TPU-first replacement for the reference's host-side PIL/scipy
     augmentation workers.
+
+    `fix_bn` freezes batch normalisation for fine-tuning (the reference's
+    --fix_bn flag, /root/reference/train.py): the forward normalises with
+    the stored running statistics and `batch_stats` are left untouched,
+    while all parameters (including BN affine) still receive gradients.
     """
 
     def loss_fn(params, batch_stats, batch):
-        (seg, edge), mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["image"], train=True, mutable=["batch_stats"],
-        )
+        if fix_bn:
+            seg, edge = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["image"], train=False,
+            )
+            mut_stats = batch_stats
+        else:
+            (seg, edge), mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+            )
+            mut_stats = mut["batch_stats"]
         total, parts = dual_loss(seg, edge, batch["label"], batch["edge"],
                                  class_weights)
-        return total, (mut["batch_stats"], seg, parts)
+        return total, (mut_stats, seg, parts)
 
     def step_fn(state: TrainState, batch: dict, rng) -> Tuple[TrainState, dict]:
         if augment_fn is not None:
@@ -185,8 +199,12 @@ def make_eval_step(model, num_class: int = 4,
                  "batch_stats": state.batch_stats},
                 batch["image"], train=False,
             )
+        # optional (N,) validity mask: the driver pads the last val batch by
+        # repeating a slice; masked reductions keep the reported loss equal
+        # to the loss over the real samples only
         total, parts = dual_loss(seg, edge, batch["label"], batch["edge"],
-                                 class_weights)
+                                 class_weights,
+                                 sample_mask=batch.get("valid"))
         probs = jax.nn.softmax(seg, axis=-1)
         preds = jnp.argmax(seg, axis=-1)
         acc, jaccard = pixel_acc(preds, batch["label"], num_class)

@@ -112,6 +112,77 @@ def test_pick_band_rows():
     assert pick_band_rows(14, 14, 512, 16) == 14
 
 
+def test_pick_band_rows_alignment_contract():
+    """Every banded pick must satisfy dense_block_fused's DMA alignment
+    guards (band*W and the halo'd scratch extent both 8-aligned); when no
+    divisor qualifies (e.g. 250² input -> 125² block1, all-odd divisors),
+    return None instead of a band that would raise."""
+    # 125²: divisors 1/5/25/125 all give odd band*W -> no banded config
+    assert pick_band_rows(125, 125, 64, 6) is None
+    for h, w, c0, n in [(112, 112, 64, 6), (126, 126, 64, 6),
+                        (120, 90, 64, 6), (64, 33, 64, 6),
+                        (112, 112, 128, 12)]:
+        band = pick_band_rows(h, w, c0, n)
+        if band is None or band == h:
+            continue
+        assert (band * w) % 8 == 0, (h, w, band)
+        assert ((band + 2 * n) * w) % 8 == 0, (h, w, band)
+        # must not raise:
+        halo_ok = h % band == 0
+        assert halo_ok
+
+
+def test_fused_banded_rejects_misaligned_scratch():
+    """band*W 8-aligned but (band+2*halo)*W not -> clean ValueError (the
+    staging DMA copies the full halo'd extent)."""
+    import pytest
+
+    block, params, stats, x = _make_block(num_layers=2, c0=64, hw=16,
+                                          seed=5)
+    x15 = x[:, :, :15, :]  # W=15: band 8 -> 120 px ok, (8+4)*15=180 not
+    with pytest.raises(ValueError, match="halo'd scratch"):
+        dense_block_fused(x15, params, stats, num_layers=2, band_rows=8,
+                          interpret=True)
+
+
+def test_fused_encoder_xla_fallback_when_no_band(monkeypatch):
+    """pick_band_rows -> None must fall back to the XLA dense block (not
+    whole-map mode, the configuration already known not to fit)."""
+    from saunet_tpu.models.densenet import DenseNetEncoder
+    from saunet_tpu.models import fused_encoder as fe
+    from saunet_tpu.ops.pallas import dense_block as db
+
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.rand(1, 32, 32, 3).astype(np.float32))
+    enc = DenseNetEncoder(dtype=jnp.bfloat16)
+    v = enc.init(jax.random.PRNGKey(0), x, True)
+    ref = enc.apply(v, x, False)
+
+    monkeypatch.setattr(db, "pick_band_rows", lambda *a, **k: None)
+    out = fe.encoder_apply_fused(v["params"], v["batch_stats"], x,
+                                 interpret=True)
+    for i, (o, r) in enumerate(zip(out, ref)):
+        o = np.asarray(o, np.float32)
+        r = np.asarray(r, np.float32)
+        tol = 0.06 * max(np.abs(r).max(), 1e-3)
+        np.testing.assert_allclose(o, r, atol=tol, err_msg=f"tap f{i+1}")
+
+
+def test_fused_encoder_f32_dtype():
+    """encoder_apply_fused(dtype=f32) must not dtype-mismatch at the
+    transition convs (the kernel emits bf16; output is cast back)."""
+    from saunet_tpu.models.densenet import DenseNetEncoder
+    from saunet_tpu.models.fused_encoder import encoder_apply_fused
+
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32))
+    enc = DenseNetEncoder()
+    v = enc.init(jax.random.PRNGKey(0), x, True)
+    out = encoder_apply_fused(v["params"], v["batch_stats"], x,
+                              dtype=jnp.float32, interpret=True)
+    assert all(o.dtype == jnp.float32 for o in out)
+
+
 def test_fused_encoder_dispatch_gate():
     """'auto' never engages the Pallas encoder on CPU (or for f32
     models); explicit True always does."""
