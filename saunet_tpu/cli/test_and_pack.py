@@ -78,7 +78,16 @@ def main(argv=None):
                                input_shape=(1, args.crop_size,
                                             args.crop_size, 3))
     state = restore_params_only(args.checkpoint, state)
-    infer = make_infer_step(model)
+    mesh = None
+    if jax.device_count() > 1:
+        # multi-chip: slice batches shard over 'data'; the fused Pallas
+        # encoder runs per-shard (shard_map wrapper in make_infer_step).
+        # z buckets must stay divisible by the data-axis size.
+        from ..parallel import make_mesh
+        mesh = make_mesh(space=1)
+        n_dev = jax.device_count()
+        args.z_bucket = ((args.z_bucket + n_dev - 1) // n_dev) * n_dev
+    infer = make_infer_step(model, mesh=mesh)
     prep = jax.jit(normalize_for_eval)
 
     ds = ACDCTestDataset(args.data_root,

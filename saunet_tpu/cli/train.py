@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..data import ACDCDataset, edge_ground_truth, make_augment_fn, normalize_for_eval
 from ..data.loader import ArrayDataLoader, RandomSampler
 from ..models import build_unet
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh, shard_batch, validate_spatial_partition
 from ..train import (
     BestIoUPolicy,
     cosine_epoch_schedule,
@@ -163,6 +163,7 @@ def main(argv=None):
     np.random.seed(args.seed)
     rng = jax.random.PRNGKey(args.seed)
 
+    validate_spatial_partition(args.crop_size, args.space)
     mesh = make_mesh(space=args.space)
     print(f"mesh: {dict(mesh.shape)}  devices: {jax.device_count()}")
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -57,17 +58,46 @@ class DenseLayer(nn.Module):
 
 
 class DenseBlock(nn.Module):
+    """Dense block; `concat_mode` picks how the growing concat is stored:
+
+    * 'chain' — the textbook concatenate-per-layer. XLA materialises a
+      fresh (N,H,W,Cl+G) buffer every layer: O(L²·G) channel-pixels of
+      pure copy traffic through HBM on top of the compute reads.
+    * 'buffer' — preallocate the final (N,H,W,Cmax) buffer once and
+      dynamic-update-slice each layer's G new channels in place; layers
+      read the live prefix. Same values bit-for-bit (layer l still sees
+      exactly channels [0:Cl]), but XLA aliases the update in place, so
+      the per-layer full-width copy disappears — the train-path analogue
+      of the eval-side fused kernel's VMEM-resident concat
+      (ops/pallas/dense_block.py).
+    """
     num_layers: int
     dtype: Dtype = jnp.float32
     act: Callable = nn.relu
+    concat_mode: str = "chain"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.concat_mode == "buffer":
+            return self._call_buffer(x, train)
         for i in range(self.num_layers):
             new = DenseLayer(dtype=self.dtype, act=self.act,
                              name=f"denselayer{i + 1}")(x, train)
             x = jnp.concatenate([x, new], axis=-1)
         return x
+
+    def _call_buffer(self, x, train: bool):
+        n, h, w, c0 = x.shape
+        cmax = c0 + self.num_layers * GROWTH_RATE
+        buf = jnp.zeros((n, h, w, cmax), x.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, x, (0, 0, 0, 0))
+        for i in range(self.num_layers):
+            cl = c0 + i * GROWTH_RATE
+            new = DenseLayer(dtype=self.dtype, act=self.act,
+                             name=f"denselayer{i + 1}")(
+                                 buf[..., :cl], train)
+            buf = jax.lax.dynamic_update_slice(buf, new, (0, 0, 0, cl))
+        return buf
 
 
 class Transition(nn.Module):
@@ -98,6 +128,7 @@ class DenseNetEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.relu
     remat: bool = False
+    concat_mode: str = "chain"
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
@@ -116,6 +147,7 @@ class DenseNetEncoder(nn.Module):
         taps = []
         for i, num_layers in enumerate(self.block_config):
             h = block_cls(num_layers, dtype=self.dtype, act=self.act,
+                          concat_mode=self.concat_mode,
                           name=f"denseblock{i + 1}")(h, train)
             features += num_layers * GROWTH_RATE
             if i != len(self.block_config) - 1:

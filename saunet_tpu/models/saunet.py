@@ -55,13 +55,17 @@ class SAUNet(nn.Module):
     edge_kernel: str = "auto"
     # rematerialise encoder dense blocks (memory for FLOPs)
     remat: bool = False
+    # 'chain' or 'buffer': see DenseBlock.concat_mode (train-path HBM
+    # traffic lever; same math, same checkpoint layout)
+    encoder_concat: str = "chain"
 
     def setup(self):
         dt, act = self.dtype, self.act
         conv1x1 = lambda ch: nn.Conv(  # noqa: E731
             ch, (1, 1), kernel_init=kaiming_normal_out, dtype=dt)
 
-        self.encoder = DenseNetEncoder(dtype=dt, act=act, remat=self.remat)
+        self.encoder = DenseNetEncoder(dtype=dt, act=act, remat=self.remat,
+                                       concat_mode=self.encoder_concat)
 
         # shape stream
         self.d0 = conv1x1(64)

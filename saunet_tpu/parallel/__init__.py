@@ -3,4 +3,5 @@ from .mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    validate_spatial_partition,
 )

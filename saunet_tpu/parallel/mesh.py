@@ -27,6 +27,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+#: Minimum image/feature rows each 'space' shard must own. With exactly one
+#: row per shard, XLA's (GSPMD) partitioner miscompiles the BACKWARD of the
+#: DenseNet fan-out pattern `concat([x, conv3x3(x)])` — gradients come back
+#: wrong by orders of magnitude and the error compounds per dense layer,
+#: while the forward (loss) stays correct. Reproduced on jax 0.8 CPU with 8
+#: virtual devices (tests/test_spatial_partition.py documents the envelope);
+#: plain conv/pool/transpose chains at one row per shard are exact. Two rows
+#: per shard is exact for every pattern in this model.
+MIN_SPATIAL_SHARD_ROWS = 2
+
+#: Stride of the deepest DENSE feature map relative to the input: SAUNet's
+#: denseblock4/f5 run at H/16 (conv0 /2, three transitions /2 each). The
+#: stride-32 center block below it contains only plain conv/pool/transpose
+#: ops, which are exact down to one row per shard.
+DEEPEST_DENSE_STRIDE = 16
+
+
+def validate_spatial_partition(crop_size: int, space: int) -> None:
+    """Reject 'space' sizes outside the verified-correct envelope: the
+    deepest dense block must keep >= MIN_SPATIAL_SHARD_ROWS rows per
+    shard (e.g. crop 256 -> space <= 8, crop 64 -> space <= 2)."""
+    if space <= 1:
+        return
+    rows = crop_size // DEEPEST_DENSE_STRIDE // space
+    if rows < MIN_SPATIAL_SHARD_ROWS:
+        raise ValueError(
+            f"space={space} leaves {rows} row(s) of the deepest dense "
+            f"block (H={crop_size // DEEPEST_DENSE_STRIDE}) per shard; "
+            f"the XLA spatial partitioner miscompiles the dense-concat "
+            f"backward below {MIN_SPATIAL_SHARD_ROWS} rows/shard. Use "
+            f"space <= {crop_size // DEEPEST_DENSE_STRIDE // 2} at crop "
+            f"{crop_size}.")
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               data: Optional[int] = None, space: int = 1) -> Mesh:
     """Build a ('data', 'space') mesh over `devices` (default: all)."""

@@ -141,27 +141,31 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
-def _use_fused_encoder(model, fused_encoder) -> bool:
+def _use_fused_encoder(model, fused_encoder, mesh=None) -> bool:
     """Fused-encoder dispatch: Pallas dense-block kernels at eval time.
 
     'auto' enables it on TPU for bf16 SAUNet-style models (the kernel keeps
     bf16 feature maps VMEM-resident; f32 doubles the working set and is the
-    CPU/test configuration anyway)."""
+    CPU/test configuration anyway). Multi-device: pallas_call is not
+    partitionable by jit auto-sharding, so a mesh must be passed — the
+    kernels then run per-shard under a shard_map wrapper (batch over
+    'data'; a space>1 mesh falls back to XLA, the kernel owns whole
+    images)."""
     if fused_encoder is True:
         return True
+    if mesh is not None and dict(mesh.shape).get("space", 1) > 1:
+        return False
     return (
         fused_encoder == "auto"
         and jax.default_backend() not in ("cpu", "gpu")
-        # pallas_call is not partitionable by jit auto-sharding: on a
-        # multi-device mesh the XLA encoder stays (a shard_map wrapper
-        # over the kernels is the future multi-chip path)
-        and len(jax.devices()) == 1
+        and (len(jax.devices()) == 1 or mesh is not None)
         and getattr(model, "dtype", None) == jnp.bfloat16
         and hasattr(model, "decode")
     )
 
 
-def _fused_forward(model, state, images, return_att: bool = False):
+def _fused_forward(model, state, images, return_att: bool = False,
+                   interpret: bool = False):
     """Eval forward = fused Pallas encoder + standalone decoder apply.
 
     The shape stream deliberately stays XLA: a fused Pallas version
@@ -174,25 +178,57 @@ def _fused_forward(model, state, images, return_att: bool = False):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     _, f2, f3, f4, f5 = encoder_apply_fused(
         state.params["encoder"], state.batch_stats["encoder"], images,
-        dtype=model.dtype)
+        dtype=model.dtype, interpret=interpret)
     return model.apply(variables, (f2, f3, f4, f5), images, False,
                        return_att, method="decode")
 
 
+def _fused_forward_sharded(model, state, images, mesh, axis: str = "data",
+                           interpret: bool = False):
+    """Fused eval forward on a multi-device mesh: batch sharded over
+    `axis`, params/stats replicated, the Pallas kernels running per-shard
+    inside shard_map (eval has no cross-batch math — BN uses running
+    stats — so shards are independent and no collectives are needed)."""
+    from collections import namedtuple
+
+    from jax.sharding import PartitionSpec as P
+
+    View = namedtuple("View", ["params", "batch_stats"])
+
+    def fwd(params, stats, imgs):
+        return _fused_forward(model, View(params, stats), imgs,
+                              interpret=interpret)
+
+    return jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(state.params, state.batch_stats, images)
+
+
 def make_eval_step(model, num_class: int = 4,
                    class_weights=DEFAULT_CLASS_WEIGHTS,
-                   fused_encoder="auto"):
+                   fused_encoder="auto", mesh=None,
+                   interpret: bool = False):
     """Jitted eval step: softmax probs + loss + in-graph IoU ingredients.
 
     Replaces the reference's per-sample python eval loop
     (/root/reference/train.py:25-64) — slices are batched and metrics are
-    computed on-device.
+    computed on-device. Pass `mesh` to run the fused Pallas encoder
+    per-shard on a multi-device 'data' mesh (loss/metrics stay on global
+    arrays under jit auto-sharding).
     """
-    fused = _use_fused_encoder(model, fused_encoder)
+    fused = _use_fused_encoder(model, fused_encoder, mesh)
 
     def step_fn(state: TrainState, batch: dict):
-        if fused:
-            seg, edge = _fused_forward(model, state, batch["image"])
+        if fused and mesh is not None:
+            seg, edge = _fused_forward_sharded(model, state,
+                                               batch["image"], mesh,
+                                               interpret=interpret)
+        elif fused:
+            seg, edge = _fused_forward(model, state, batch["image"],
+                                       interpret=interpret)
         else:
             seg, edge = model.apply(
                 {"params": state.params,
@@ -216,14 +252,20 @@ def make_eval_step(model, num_class: int = 4,
     return jax.jit(step_fn)
 
 
-def make_infer_step(model, fused_encoder="auto"):
+def make_infer_step(model, fused_encoder="auto", mesh=None,
+                    interpret: bool = False):
     """Jitted inference: (probs, preds) from images only — the
-    test_and_pack forward path, batched over z-slices."""
-    fused = _use_fused_encoder(model, fused_encoder)
+    test_and_pack forward path, batched over z-slices. Pass `mesh` to run
+    the fused Pallas encoder per-shard over the 'data' axis."""
+    fused = _use_fused_encoder(model, fused_encoder, mesh)
 
     def step_fn(state: TrainState, images):
-        if fused:
-            seg, edge = _fused_forward(model, state, images)
+        if fused and mesh is not None:
+            seg, edge = _fused_forward_sharded(model, state, images, mesh,
+                                               interpret=interpret)
+        elif fused:
+            seg, edge = _fused_forward(model, state, images,
+                                       interpret=interpret)
         else:
             seg, edge = model.apply(
                 {"params": state.params,

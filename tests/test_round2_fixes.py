@@ -98,6 +98,45 @@ def test_fix_bn_freezes_batch_stats():
     assert max(diffs) > 0
 
 
+def test_buffer_concat_matches_chain():
+    """DenseBlock concat_mode='buffer' (in-place dynamic-update-slice
+    concat buffer) must equal the textbook concatenate chain: identical
+    param tree, bit-identical forward/batch stats; grads equal up to
+    cotangent summation order (slice-of-buffer accumulates fan-out adds
+    in a different association than the concat chain)."""
+    from saunet_tpu.models.densenet import DenseBlock
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 8, 64).astype(np.float32))
+    chain = DenseBlock(3)
+    buffer = DenseBlock(3, concat_mode="buffer")
+    v = chain.init(jax.random.PRNGKey(0), x, True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                buffer.init(jax.random.PRNGKey(0), x, True)))
+
+    # eval forward: exact
+    np.testing.assert_array_equal(
+        np.asarray(chain.apply(v, x, False)),
+        np.asarray(buffer.apply(v, x, False)))
+
+    # train forward + new batch stats + input grads: exact
+    def run(mod):
+        def f(xx):
+            y, mut = mod.apply(v, xx, True, mutable=["batch_stats"])
+            return jnp.sum(y ** 2), mut["batch_stats"]
+        (val, stats), grad = jax.value_and_grad(f, has_aux=True)(x)
+        return val, stats, grad
+
+    v1, s1, g1 = run(chain)
+    v2, s2, g2 = run(buffer)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_default_step_updates_batch_stats():
     state, step, batch = _tiny_setup(fix_bn=False)
     new_state, _ = step(state, batch, jax.random.PRNGKey(1))
