@@ -31,7 +31,7 @@ def test_phantom_generator_deterministic():
 def test_convergence_matches_torch_baseline():
     from fidelity import run
 
-    result = run(steps=120, batch=8, hw=48, n_train=48, n_val=12,
+    result = run(steps=120, batch=8, hw=64, n_train=48, n_val=12,
                  lr=1e-3, eval_every=40, verbose=False)
     jx, th = result["jax"], result["torch"]
 

@@ -160,7 +160,7 @@ def run_torch(imgs, labs, edges, val_imgs, val_labs, steps, batch, lr,
     return hist
 
 
-def run(steps=300, batch=8, hw=48, n_train=64, n_val=16, lr=1e-3,
+def run(steps=300, batch=8, hw=64, n_train=64, n_val=16, lr=1e-3,
         eval_every=30, verbose=True):
     from saunet_tpu.data.phantom import make_phantom_set
 
@@ -247,7 +247,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--hw", type=int, default=48)
+    ap.add_argument("--hw", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
     result = run(steps=args.steps, batch=args.batch, hw=args.hw,

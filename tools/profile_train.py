@@ -1,0 +1,153 @@
+"""Break the TRAIN step into segment fwd+bwd costs on the real chip.
+
+The round-1 profile showed the train step is HBM-bound (~279 GB/step at
+b64/224²) but never attributed the traffic. This tool times jax.grad over
+truncated objectives (encoder only, encoder+shape-stream, full loss) and
+reads each compiled executable's cost model, so the next kernel/graph
+restructure targets the measured hot segment rather than the assumed one.
+
+Segments are cumulative (each includes the previous), so consecutive
+differences approximate per-segment fwd+bwd cost. Exact attribution is
+impossible (XLA fuses across segment boundaries), but the deltas are the
+decision-grade signal.
+
+Env: PROF_BATCH (64), PROF_HW (224), PROF_STEPS (10), PROF_CONCAT
+(chain|buffer), PROF_REMAT=1.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from saunet_tpu.models import SAUNet  # noqa: E402
+from saunet_tpu.train import create_train_state, make_train_step, radam  # noqa: E402
+from saunet_tpu.train.losses import dual_loss  # noqa: E402
+
+B = int(os.environ.get("PROF_BATCH", "64"))
+HW = int(os.environ.get("PROF_HW", "224"))
+STEPS = int(os.environ.get("PROF_STEPS", "10"))
+CONCAT = os.environ.get("PROF_CONCAT", "chain")
+REMAT = os.environ.get("PROF_REMAT", "0") == "1"
+
+
+def _sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = fn(*args)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / STEPS
+    flops = hbm = None
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops, hbm = ca.get("flops"), ca.get("bytes accessed")
+    except Exception:
+        pass
+    extra = ""
+    if hbm:
+        extra = f"  {hbm / 1e9:7.1f} GB  {hbm / dt / 1e9:6.0f} GB/s"
+    if flops:
+        extra += f"  {flops / dt / 1e12:6.1f} TF/s"
+    print(f"{name:<34s} {dt * 1e3:8.2f} ms{extra}")
+    return dt
+
+
+def main():
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rs.rand(B, HW, HW, 3).astype(np.float32)),
+        "label": jnp.asarray(
+            rs.randint(0, 4, size=(B, HW, HW)).astype(np.int32)),
+        "edge": jnp.asarray(
+            (rs.rand(B, HW, HW, 1) > 0.8).astype(np.float32)),
+    }
+    model = SAUNet(num_classes=4, dtype=jnp.bfloat16, remat=REMAT,
+                   encoder_concat=CONCAT)
+    tx = radam(1e-4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, HW, HW, 3),
+                               init_on_cpu=True)
+    print(f"batch {B} @ {HW}²  concat={CONCAT} remat={REMAT} "
+          f"device {jax.devices()[0].platform}")
+
+    def enc_loss(params, stats, images):
+        (taps, mut) = model.apply(
+            {"params": params, "batch_stats": stats}, images, True,
+            mutable=["batch_stats"],
+            method=lambda m, xx, t: m.encoder(xx, t))
+        loss = sum(jnp.mean(t.astype(jnp.float32) ** 2) for t in taps)
+        return loss, mut["batch_stats"]
+
+    def ss_loss(params, stats, images):
+        def run(m, xx, t):
+            taps = m.encoder(xx, t)
+            edge_out, gates = m.shape_stream(taps[1:], xx, t)
+            return taps, edge_out
+        ((taps, edge_out), mut) = model.apply(
+            {"params": params, "batch_stats": stats}, images, True,
+            mutable=["batch_stats"], method=run)
+        loss = (sum(jnp.mean(t.astype(jnp.float32) ** 2) for t in taps)
+                + jnp.mean(edge_out))
+        return loss, mut["batch_stats"]
+
+    def full_loss(params, stats, b):
+        (seg, edge), mut = model.apply(
+            {"params": params, "batch_stats": stats}, b["image"], True,
+            mutable=["batch_stats"])
+        total, _ = dual_loss(seg, edge, b["label"], b["edge"])
+        return total, mut["batch_stats"]
+
+    @jax.jit
+    def fwd_full(params, stats, b):
+        return full_loss(params, stats, b)[0]
+
+    @jax.jit
+    def g_enc(params, stats, images):
+        (l, _), g = jax.value_and_grad(enc_loss, has_aux=True)(
+            params, stats, images)
+        return l, g
+
+    @jax.jit
+    def g_ss(params, stats, images):
+        (l, _), g = jax.value_and_grad(ss_loss, has_aux=True)(
+            params, stats, images)
+        return l, g
+
+    @jax.jit
+    def g_full(params, stats, b):
+        (l, _), g = jax.value_and_grad(full_loss, has_aux=True)(
+            params, stats, b)
+        return l, g
+
+    step = make_train_step(model, tx, donate=False)
+
+    p, s = state.params, state.batch_stats
+    timeit("fwd only (train mode, loss)", fwd_full, p, s, batch)
+    t_enc = timeit("grad: encoder only", g_enc, p, s, batch["image"])
+    t_ss = timeit("grad: encoder+shape stream", g_ss, p, s, batch["image"])
+    t_full = timeit("grad: full loss", g_full, p, s, batch)
+    t_step = timeit("train step (grad+RAdam)", step, state, batch,
+                    jax.random.PRNGKey(1))
+    print(f"\nsegment deltas (fwd+bwd): encoder {t_enc * 1e3:.1f} ms, "
+          f"shape stream +{(t_ss - t_enc) * 1e3:.1f} ms, "
+          f"decoder/edge/loss +{(t_full - t_ss) * 1e3:.1f} ms, "
+          f"optimizer +{(t_step - t_full) * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
