@@ -1,0 +1,263 @@
+"""Lane-packed layout ops for narrow-channel full-resolution tensors.
+
+Why this exists: TPU HBM stores the minor (lane) dimension of an array
+padded to 128. Every full-resolution shape-stream tensor in SAUNet
+(/root/reference/models/models.py:337-356 — 64/32/16/8/1-channel maps at
+input resolution) is therefore stored 2x-128x larger than its nominal
+size, and the train step pays that padded traffic on every conv read and
+write, forward and backward. Fusing more aggressively inside one kernel
+does not help (round-1 measurement: a fused Pallas shape-stream kernel
+lost to XLA because the 128-lane padding is unavoidable *in that
+layout*).
+
+The fix is a layout change, expressed entirely in differentiable XLA so
+autodiff, BatchNorm batch statistics, and GSPMD sharding keep working:
+
+  pack P = 128 // C adjacent row pixels into the lane dimension:
+      (B, H, W, C)  ->  (B, H, W/P, P*C)       lane l = p*C + c
+
+  * elementwise ops are unchanged (lanes independent);
+  * 1x1 convs become 128-wide block-diagonal matmuls (MXU-dense, vs
+    a dense C-channel conv that pads its contraction dim to 128 on the
+    MXU anyway);
+  * 3x3 convs become a (3, 3)-window conv over (H, packed-column) with a
+    block-placed (3, 3, P*C, P*C) kernel: the w-offset +-1 taps read the
+    neighbouring packed column for the pack-edge pixels and the same
+    column for interior pixels. FLOPs grow by 128/(C * true taps
+    touched), but the op was HBM-bound by padding — trading idle MXU
+    cycles for a P-fold traffic cut;
+  * BatchNorm statistics per true channel are a strided-lane reduction
+    (reshape 128 -> (P, C), reduce), and the affine is a tiled vector.
+
+All packing/placement selectors are trace-time numpy constants; the
+packed kernels are built from the *dense* kernels by einsum, so
+gradients flow to the canonical parameter shapes and checkpoints are
+layout-independent.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+
+
+def choose_pack(w: int, c: int, max_lanes: int = LANES) -> int:
+    """Largest P with P | w and P*c <= max_lanes (1 if none better)."""
+    best = 1
+    for p in range(2, max_lanes // max(c, 1) + 1):
+        if w % p == 0:
+            best = p
+    return best
+
+
+def pack(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W//p, p*C). Contiguous reshape."""
+    if p == 1:
+        return x
+    b, h, w, c = x.shape
+    assert w % p == 0, (w, p)
+    return x.reshape(b, h, w // p, p * c)
+
+
+def unpack(xp: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Inverse of pack: (B, H, V, p*C) -> (B, H, V*p, C)."""
+    b, h, v, l = xp.shape
+    assert l % c == 0, (l, c)
+    return xp.reshape(b, h, v * (l // c), c)
+
+
+# ---------------------------------------------------------------------------
+# trace-time selector constants
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _sel_conv3x3(p: int):
+    """M (3, 3, P, P): M[dv+1, dw+1, pi, po] = 1 where output pack-pixel po
+    with true w-offset dw in {-1,0,1} reads input pack-pixel pi from the
+    packed column at offset dv in {-1,0,1}."""
+    m = np.zeros((3, 3, p, p), dtype=np.float32)
+    for po in range(p):
+        for dw in (-1, 0, 1):
+            t = po + dw
+            dv, pi = divmod(t, p)  # floor division: t=-1 -> dv=-1, pi=p-1
+            m[dv + 1, dw + 1, pi, po] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _sel_increase(r: int, p_in: int, p_out: int):
+    """S (r, p_in, p_out): output pack-pixel po reads input column kw = po
+    // p_in at pack-pixel pi = po % p_in (p_out = r * p_in)."""
+    s = np.zeros((r, p_in, p_out), dtype=np.float32)
+    for po in range(p_out):
+        s[po // p_in, po % p_in, po] = 1.0
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def _sel_decrease(r: int, p_in: int, p_out: int):
+    """S (r, p_in, p_out): the j-th output column of an input column group
+    covers input pack-pixels [j*p_out, (j+1)*p_out) (p_in = r * p_out)."""
+    s = np.zeros((r, p_in, p_out), dtype=np.float32)
+    for j in range(r):
+        for po in range(p_out):
+            s[j, j * p_out + po, po] = 1.0
+    return s
+
+
+# ---------------------------------------------------------------------------
+# packed conv ops
+# ---------------------------------------------------------------------------
+
+def _conv(xp, wp, strides):
+    return jax.lax.conv_general_dilated(
+        xp, wp, window_strides=strides, padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def packed_conv1x1(xp, kernel, c_in, p_in, c_out, p_out, bias=None):
+    """1x1 conv C_in -> C_out on a packed tensor, repacking P_in -> P_out.
+
+    kernel: (1, 1, C_in, C_out) or (C_in, C_out) dense flax kernel.
+    P_out >= P_in: expressed as a (1, r)-window stride-r conv (r output
+    pack-groups merge r input columns). P_out < P_in: an r-way split
+    matmul whose outputs interleave back into columns by contiguous
+    reshape.
+    """
+    if kernel.ndim == 4:
+        kernel = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+    dt = xp.dtype
+    k = kernel.astype(dt)
+    if p_out == p_in:
+        sel = jnp.asarray(_sel_increase(1, p_in, p_out), dt)[0]
+        wp = jnp.einsum("pq,io->piqo", sel, k)
+        out = jnp.einsum("bhvl,lm->bhvm",
+                         xp, wp.reshape(p_in * c_in, p_out * c_out))
+    elif p_out > p_in:
+        r = p_out // p_in
+        assert p_out == r * p_in, (p_in, p_out)
+        sel = jnp.asarray(_sel_increase(r, p_in, p_out), dt)
+        wp = jnp.einsum("wpq,io->wpiqo", sel, k).reshape(
+            1, r, p_in * c_in, p_out * c_out)
+        out = _conv(xp, wp, (1, r))
+    else:
+        r = p_in // p_out
+        assert p_in == r * p_out, (p_in, p_out)
+        sel = jnp.asarray(_sel_decrease(r, p_in, p_out), dt)
+        wp = jnp.einsum("jpq,io->jpiqo", sel, k).reshape(
+            r, p_in * c_in, p_out * c_out)
+        out = jnp.einsum("bhvl,jlm->bhvjm", xp, wp)
+        b, h, v = out.shape[:3]
+        out = out.reshape(b, h, v * r, p_out * c_out)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(dt), p_out)
+    return out
+
+
+def packed_conv3x3(xp, kernel, c_in, p, c_out=None, bias=None):
+    """3x3 SAME conv C_in -> C_out on a packed tensor (pack P unchanged).
+
+    kernel: (3, 3, C_in, C_out) dense flax kernel. Lowered to one
+    (3, 3)-window conv over (H, packed columns) with a block-placed
+    (3, 3, P*C_in, P*C_out) kernel; SAME padding's zero column supplies
+    the out-of-image taps exactly.
+    """
+    c_out = c_out if c_out is not None else kernel.shape[-1]
+    dt = xp.dtype
+    sel = jnp.asarray(_sel_conv3x3(p), dt)  # (kw, dw, pi, po)
+    wp = jnp.einsum("hdio,wdpq->hwpiqo", kernel.astype(dt), sel)
+    wp = wp.reshape(3, 3, p * c_in, p * c_out)
+    out = jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(dt), p)
+    return out
+
+
+def repack(xp, c, p_in, p_out):
+    """Change pack factor only (channel count kept)."""
+    if p_in == p_out:
+        return xp
+    eye = jnp.eye(c, dtype=xp.dtype)
+    return packed_conv1x1(xp, eye, c, p_in, c, p_out)
+
+
+def broadcast_1ch(xp, p_in, c_out, p_out):
+    """1-channel packed map -> packed (C_out, P_out) tensor with the pixel
+    value replicated across all C_out lanes (for gating multiplies).
+    Requires P_in divisible by P_out (cue packs are always the largest)."""
+    dt = xp.dtype
+    ones = jnp.ones((1, c_out), dt)
+    if p_in == p_out:
+        sel = jnp.asarray(_sel_increase(1, p_in, p_out), dt)[0]
+        wp = jnp.einsum("pq,io->piqo", sel, ones)
+        return jnp.einsum("bhvl,lm->bhvm",
+                          xp, wp.reshape(p_in, p_out * c_out))
+    r = p_in // p_out
+    assert p_in == r * p_out, (p_in, p_out)
+    sel = jnp.asarray(_sel_decrease(r, p_in, p_out), dt)
+    wp = jnp.einsum("jpq,io->jpiqo", sel, ones).reshape(
+        r, p_in, p_out * c_out)
+    out = jnp.einsum("bhvl,jlm->bhvjm", xp, wp)
+    b, h, v = out.shape[:3]
+    return out.reshape(b, h, v * r, p_out * c_out)
+
+
+# ---------------------------------------------------------------------------
+# packed batch norm pieces
+# ---------------------------------------------------------------------------
+
+def packed_bn_stats(xp, c, axis_name=None):
+    """Per-true-channel (mean, var) over (B, H, W) of a packed tensor.
+    f32 accumulation; var = E[x^2] - E[x]^2 (flax use_fast_variance).
+    `axis_name`: explicit pmean under shard_map (flax BatchNorm parity)."""
+    b, h, v, l = xp.shape
+    p = l // c
+    x32 = xp.astype(jnp.float32).reshape(b, h, v, p, c)
+    n = b * h * v * p
+    mean = jnp.sum(x32, axis=(0, 1, 2, 3)) / n
+    mean2 = jnp.sum(jnp.square(x32), axis=(0, 1, 2, 3)) / n
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean2 = jax.lax.pmean(mean2, axis_name)
+    var = mean2 - jnp.square(mean)
+    return mean, var
+
+
+def packed_scale_bias(xp, scale_c, bias_c, c):
+    """Apply a per-true-channel affine (scale, bias vectors of length C)."""
+    p = xp.shape[-1] // c
+    dt = xp.dtype
+    return xp * jnp.tile(scale_c.astype(dt), p) + jnp.tile(
+        bias_c.astype(dt), p)
+
+
+# ---------------------------------------------------------------------------
+# resize directly into packed layout
+# ---------------------------------------------------------------------------
+
+def resize_bilinear_packed(x, out_hw, p, align_corners: bool = True):
+    """resize_bilinear (align-corners matrix form, see ops/resize.py) whose
+    W-interpolation einsum writes the packed (B, H_out, W_out/P, P*C)
+    layout directly — the full-resolution unpacked intermediate never
+    exists in HBM."""
+    from .resize import _interp_matrix
+
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    b, h, w, c = x.shape
+    dt = x.dtype
+    cast = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+    prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    xf = x.astype(cast)
+    if h != out_h:  # H first: runs at the narrow input W
+        ah = jnp.asarray(_interp_matrix(h, out_h, align_corners), cast)
+        xf = jnp.einsum("Oh,nhwc->nOwc", ah, xf, precision=prec)
+    aw = jnp.asarray(_interp_matrix(w, out_w, align_corners), cast)
+    aw = aw.reshape(out_w // p, p, w)
+    out = jnp.einsum("vpw,nhwc->nhvpc", aw, xf, precision=prec)
+    return out.reshape(b, out_h, out_w // p, p * c).astype(dt)
