@@ -47,11 +47,15 @@ def main():
     augment = os.environ.get("BENCH_AUGMENT", "0") == "1"
     donate = os.environ.get("BENCH_DONATE", "0") == "1"
     concat = os.environ.get("BENCH_CONCAT", "chain")  # chain | buffer
+    stream = os.environ.get("BENCH_STREAM", "auto")  # auto | xla | packed
 
     from saunet_tpu.train import make_infer_step
 
+    if stream == "auto":
+        from saunet_tpu.models.packed_stream import packed_stream_worthwhile
+        stream = "packed" if packed_stream_worthwhile(hw) else "xla"
     model = SAUNet(num_classes=4, dtype=jnp.bfloat16, remat=remat,
-                   encoder_concat=concat)
+                   encoder_concat=concat, stream_impl=stream)
     tx = radam(1e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                input_shape=(1, hw, hw, 3),

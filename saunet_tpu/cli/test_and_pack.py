@@ -37,6 +37,8 @@ def parse_args(argv=None):
                    default=os.getenv("DATA_ROOT", ""))
     p.add_argument("--series-file", dest="series_file", type=str, default="")
     p.add_argument("--crop_size", default=256, type=int)
+    p.add_argument("--stream_impl", default="auto",
+                   choices=["auto", "xla", "packed"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--visualize", action="store_true", default=True)
@@ -72,8 +74,13 @@ def main(argv=None):
     for k, v in sorted(vars(args).items()):
         print(f"  {k:20} {v}")
 
+    stream_impl = getattr(args, "stream_impl", "auto")
+    if stream_impl == "auto":
+        from ..models.packed_stream import packed_stream_worthwhile
+        stream_impl = ("packed" if packed_stream_worthwhile(args.crop_size)
+                       else "xla")
     model = build_unet(num_class=args.num_class, arch=args.arch_unet,
-                       dtype=args.dtype)
+                       dtype=args.dtype, stream_impl=stream_impl)
     state = create_train_state(model, radam(1e-4), jax.random.PRNGKey(0),
                                input_shape=(1, args.crop_size,
                                             args.crop_size, 3))

@@ -77,6 +77,11 @@ def parse_args(argv=None):
     p.add_argument("--num_class", default=4, type=int)
     p.add_argument("--k_split", default=1, type=int)
     p.add_argument("--crop_size", default=256, type=int)
+    p.add_argument("--stream_impl", default="auto",
+                   choices=["auto", "xla", "packed"],
+                   help="shape-stream layout: 'packed' cuts the "
+                        "narrow-channel full-res HBM traffic; 'auto' "
+                        "picks packed whenever the crop width packs well")
     p.add_argument("--no_deform", action="store_true",
                    help="disable elastic deformation")
     p.add_argument("--slice_cache", default="",
@@ -184,8 +189,13 @@ def main(argv=None):
     steps_per_epoch = max(len(train_imgs) // args.batch_size, 1)
 
     # --- model / optimizer -------------------------------------------
+    stream_impl = args.stream_impl
+    if stream_impl == "auto":
+        from ..models.packed_stream import packed_stream_worthwhile
+        stream_impl = ("packed" if packed_stream_worthwhile(args.crop_size)
+                       else "xla")
     model = build_unet(num_class=args.num_class, arch=args.unet_arch,
-                       dtype=args.dtype)
+                       dtype=args.dtype, stream_impl=stream_impl)
     schedule = cosine_epoch_schedule(args.lr_encoder, args.num_epoch,
                                      steps_per_epoch)
     tx = create_optimizer(args.optimizer, schedule, beta1=args.beta1,

@@ -1,0 +1,246 @@
+"""Lane-packed shape-stream modules (param-compatible with the XLA path).
+
+The SAUNet shape stream (/root/reference/models/models.py:337-356) runs
+64/32/16/8/1-channel maps at full input resolution. In NHWC those lane
+counts store padded to 128 in HBM, so the measured train cost of the
+stream is ~133 ms / 86 GB per step at 224² b64 (tools/profile_train.py)
+— almost all of it padding traffic. These modules compute the *same
+math* in the packed (B, H, W/P, P*C) layout of ops/packed.py.
+
+Param-tree compatibility is the design contract: every module here
+declares parameters with the exact names, shapes, dtypes, and
+initializers of the dense module it replaces (nn.Conv / nn.BatchNorm /
+ResBasicBlock / GatedSpatialConv), so checkpoints are interchangeable
+between `stream_impl='xla'` and `'packed'`, and oracle tests can assert
+numerical equivalence under identical parameters.
+
+The (C+1)-channel gate intermediates of GatedSpatialConv never exist as
+tensors: the gate is algebraically split into a C-channel packed part
+and a 1-channel cue part (BatchNorm is per-channel and 1x1 convs are
+linear, so the split is exact), each lane-full.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.packed import (
+    broadcast_1ch,
+    packed_bn_stats,
+    packed_conv1x1,
+    packed_conv3x3,
+    packed_scale_bias,
+)
+from ..utils.config import cfg
+from .blocks import kaiming_normal_out, xavier_normal
+
+Dtype = Any
+# a packed channel-split tensor part: (array, true_channels, pack)
+Part = Tuple[jnp.ndarray, int, int]
+
+
+def stream_packs(w: int) -> dict:
+    """Consistent pack factors for the stream's channel widths at image
+    width `w`: each pack divides the next ({64: p, 32: ., 16: ., 8: .,
+    1: .}), so every channel-narrowing conv is an integer pack increase
+    and every cue broadcast an integer pack decrease. All packs are 1
+    when `w` is odd (packed layout degenerates to dense math)."""
+    packs = {}
+    prev = 1
+    for c in (64, 32, 16, 8, 1):
+        best = prev
+        p = prev
+        while True:
+            p += prev
+            if p * c > 128:
+                break
+            if w % p == 0:
+                best = p
+        packs[c] = best
+        prev = best
+    return packs
+
+
+def packed_stream_worthwhile(w: int) -> bool:
+    """Packed beats XLA only when real packing happens across the stream
+    widths (even width with a deep divisor chain)."""
+    pk = stream_packs(w)
+    return pk[64] >= 2 and pk[8] >= 8
+
+
+class PConv1x1(nn.Module):
+    """Packed 1x1 conv; param-compatible with nn.Conv(features, (1, 1))."""
+    features: int
+    c_in: int
+    use_bias: bool = True
+    kernel_init: Callable = kaiming_normal_out
+
+    @nn.compact
+    def __call__(self, xp, p_in: int, p_out: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, self.c_in, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return packed_conv1x1(xp, kernel, self.c_in, p_in, self.features,
+                              p_out, bias=bias)
+
+
+class PConv3x3(nn.Module):
+    """Packed 3x3 SAME conv; param-compatible with nn.Conv(features, (3, 3))."""
+    features: int
+    c_in: int
+    use_bias: bool = False
+    kernel_init: Callable = kaiming_normal_out
+
+    @nn.compact
+    def __call__(self, xp, p: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, self.c_in, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return packed_conv3x3(xp, kernel, self.c_in, p, self.features,
+                              bias=bias)
+
+
+class _ParamConv(nn.Module):
+    """Bare parameter holder with nn.Conv's 1x1 param tree, for modules
+    that apply the kernel in algebraically split form (the gate)."""
+    features: int
+    c_in: int
+    use_bias: bool = True
+    kernel_init: Callable = kaiming_normal_out
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (1, 1, self.c_in, self.features), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
+        return k[0, 0], b
+
+
+class PBatchNorm(nn.Module):
+    """BatchNorm over a channel-split list of packed parts;
+    param/stat-compatible with flax nn.BatchNorm(num_features).
+
+    Statistics per true channel come from strided-lane reductions on each
+    part (f32, fast-variance, optional pmean over cfg BN_AXIS_NAME —
+    exactly flax's semantics), the running stats update uses flax's EMA
+    form, and normalization is the folded per-channel affine applied
+    packed."""
+    num_features: int
+
+    @nn.compact
+    def __call__(self, parts: Sequence[Part], train: bool) -> List[jnp.ndarray]:
+        nf = self.num_features
+        assert sum(c for _, c, _ in parts) == nf, (parts, nf)
+        scale = self.param("scale", nn.initializers.ones, (nf,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (nf,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((nf,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((nf,), jnp.float32))
+        if train:
+            axis_name = cfg.MODEL.get("BN_AXIS_NAME", None)
+            means, variances = [], []
+            for xp, c, _p in parts:
+                m, v = packed_bn_stats(xp, c, axis_name=axis_name)
+                means.append(m)
+                variances.append(v)
+            mean = jnp.concatenate(means)
+            var = jnp.maximum(jnp.concatenate(variances), 0.0)
+            if not self.is_initializing():
+                mom = cfg.MODEL.BN_MOMENTUM
+                ra_mean.value = mom * ra_mean.value + (1.0 - mom) * mean
+                ra_var.value = mom * ra_var.value + (1.0 - mom) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = scale * jax.lax.rsqrt(var + cfg.MODEL.BN_EPS)
+        shift = bias - mean * inv
+        out, off = [], 0
+        for xp, c, _p in parts:
+            out.append(packed_scale_bias(xp, inv[off:off + c],
+                                         shift[off:off + c], c))
+            off += c
+        return out
+
+
+class PResBasicBlock(nn.Module):
+    """Packed ResNet BasicBlock; param-compatible with
+    blocks.ResBasicBlock (conv1/bn1/conv2/bn2)."""
+    planes: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    def setup(self):
+        self.conv1 = PConv3x3(self.planes, self.planes, use_bias=False)
+        self.bn1 = PBatchNorm(self.planes)
+        self.conv2 = PConv3x3(self.planes, self.planes, use_bias=False)
+        self.bn2 = PBatchNorm(self.planes)
+
+    def __call__(self, xp, p: int, train: bool = True):
+        residual = xp
+        out = self.conv1(xp, p)
+        out = self.bn1([(out, self.planes, p)], train)[0]
+        out = self.act(out)
+        out = self.conv2(out, p)
+        out = self.bn2([(out, self.planes, p)], train)[0]
+        return self.act(out + residual)
+
+
+class PGatedSpatialConv(nn.Module):
+    """Packed shape-stream gate; param-compatible with
+    blocks.GatedSpatialConv (gate_bn1/gate_conv1/gate_conv2/gate_bn2/conv).
+
+    The dense computation concatenates the C-channel stream with the
+    1-channel texture cue and pushes (C+1)-channel tensors through
+    BN -> 1x1 -> relu -> 1x1 -> BN. Here the stream stays packed at
+    (C, P) and the cue at (1, P_cue); the concat never happens — BN
+    splits per channel and the 1x1 kernels split into C->C, cue->C,
+    C->cue, cue->cue blocks (exact linear algebra, tested against the
+    dense module)."""
+    features: int
+    c_in: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    def setup(self):
+        c1 = self.c_in + 1
+        self.gate_bn1 = PBatchNorm(c1)
+        self.gate_conv1 = _ParamConv(c1, c1)
+        self.gate_conv2 = _ParamConv(1, c1)
+        self.gate_bn2 = PBatchNorm(1)
+        self.conv = PConv1x1(self.features, self.c_in, use_bias=False,
+                             kernel_init=xavier_normal)
+
+    def __call__(self, ss, cue, p: int, p_cue: int, train: bool = True):
+        c = self.c_in
+        dt = ss.dtype
+        nss, ncue = self.gate_bn1([(ss, c, p), (cue, 1, p_cue)], train)
+
+        k1, b1 = self.gate_conv1()  # (C+1, C+1), (C+1,)
+        k1 = k1.astype(dt)
+        b1 = b1.astype(dt)
+        # C-channel part of the (C+1)-wide hidden layer
+        ga = packed_conv1x1(nss, k1[:c, :c], c, p, c, p)
+        ga = ga + broadcast_1ch(ncue, p_cue, c, p) * jnp.tile(k1[c, :c], p)
+        ga = self.act(ga + jnp.tile(b1[:c], p))
+        # 1-channel (cue) part
+        gb = packed_conv1x1(nss, k1[:c, c:], c, p, 1, p_cue)
+        gb = self.act(gb + ncue * k1[c, c] + b1[c])
+
+        k2, b2 = self.gate_conv2()  # (C+1, 1), (1,)
+        k2 = k2.astype(dt)
+        pre = packed_conv1x1(ga, k2[:c], c, p, 1, p_cue)
+        pre = pre + gb * k2[c, 0] + b2.astype(dt)[0]
+        pre = self.gate_bn2([(pre, 1, p_cue)], train)[0]
+        alpha = nn.sigmoid(pre)
+
+        gated = ss * (broadcast_1ch(alpha, p_cue, c, p) + 1.0)
+        return self.conv(gated, p, p), alpha

@@ -58,6 +58,10 @@ class SAUNet(nn.Module):
     # 'chain' or 'buffer': see DenseBlock.concat_mode (train-path HBM
     # traffic lever; same math, same checkpoint layout)
     encoder_concat: str = "chain"
+    # 'xla': dense NHWC stream ops. 'packed': lane-packed layout
+    # (models/packed_stream.py) — same math and parameter tree, ~P-fold
+    # less HBM traffic for the full-res narrow-channel stream tensors.
+    stream_impl: str = "xla"
 
     def setup(self):
         dt, act = self.dtype, self.act
@@ -67,22 +71,43 @@ class SAUNet(nn.Module):
         self.encoder = DenseNetEncoder(dtype=dt, act=act, remat=self.remat,
                                        concat_mode=self.encoder_concat)
 
-        # shape stream
+        # shape stream — low-resolution projections (d0, c3-c5) are dense
+        # in both impls; only the full-resolution modules swap layout.
         self.d0 = conv1x1(64)
-        self.res1 = ResBasicBlock(64, dtype=dt, act=act)
-        self.d1 = conv1x1(32)
         self.c3 = conv1x1(1)
-        self.gate1 = GatedSpatialConv(32, dtype=dt, act=act)
-        self.res2 = ResBasicBlock(32, dtype=dt, act=act)
-        self.d2 = conv1x1(16)
         self.c4 = conv1x1(1)
-        self.gate2 = GatedSpatialConv(16, dtype=dt, act=act)
-        self.res3 = ResBasicBlock(16, dtype=dt, act=act)
-        self.d3 = conv1x1(8)
         self.c5 = conv1x1(1)
-        self.gate3 = GatedSpatialConv(8, dtype=dt, act=act)
-        self.fuse = nn.Conv(1, (1, 1), use_bias=False,
-                            kernel_init=kaiming_normal_out, dtype=dt)
+        if self.stream_impl == "packed":
+            from .packed_stream import (
+                PConv1x1,
+                PGatedSpatialConv,
+                PResBasicBlock,
+            )
+            self.res1 = PResBasicBlock(64, dtype=dt, act=act)
+            self.d1 = PConv1x1(32, c_in=64)
+            self.gate1 = PGatedSpatialConv(32, c_in=32, dtype=dt, act=act)
+            self.res2 = PResBasicBlock(32, dtype=dt, act=act)
+            self.d2 = PConv1x1(16, c_in=32)
+            self.gate2 = PGatedSpatialConv(16, c_in=16, dtype=dt, act=act)
+            self.res3 = PResBasicBlock(16, dtype=dt, act=act)
+            self.d3 = PConv1x1(8, c_in=16)
+            self.gate3 = PGatedSpatialConv(8, c_in=8, dtype=dt, act=act)
+            self.fuse = PConv1x1(1, c_in=8, use_bias=False)
+        elif self.stream_impl == "xla":
+            self.res1 = ResBasicBlock(64, dtype=dt, act=act)
+            self.d1 = conv1x1(32)
+            self.gate1 = GatedSpatialConv(32, dtype=dt, act=act)
+            self.res2 = ResBasicBlock(32, dtype=dt, act=act)
+            self.d2 = conv1x1(16)
+            self.gate2 = GatedSpatialConv(16, dtype=dt, act=act)
+            self.res3 = ResBasicBlock(16, dtype=dt, act=act)
+            self.d3 = conv1x1(8)
+            self.gate3 = GatedSpatialConv(8, dtype=dt, act=act)
+            self.fuse = nn.Conv(1, (1, 1), use_bias=False,
+                                kernel_init=kaiming_normal_out, dtype=dt)
+        else:
+            raise ValueError(f"stream_impl must be 'xla' or 'packed', "
+                             f"got {self.stream_impl!r}")
 
         # edge fusion
         self.cw = nn.Conv(1, (1, 1), use_bias=False,
@@ -139,6 +164,8 @@ class SAUNet(nn.Module):
     def shape_stream(self, taps, x, train: bool = True):
         """The gated full-resolution shape stream: (f2..f5, x) ->
         (edge_out f32 in (0,1), (g1, g2, g3) gate maps)."""
+        if self.stream_impl == "packed":
+            return self._shape_stream_packed(taps, x, train)
         conv2, conv3, conv4, conv5 = taps
         h, w = x.shape[1], x.shape[2]
         ss = self.d0(conv2)
@@ -157,6 +184,35 @@ class SAUNet(nn.Module):
         ss, g3 = self.gate3(ss, c5, train)
         ss = self.fuse(ss)
         return nn.sigmoid(ss.astype(jnp.float32)), (g1, g2, g3)
+
+    def _shape_stream_packed(self, taps, x, train: bool = True):
+        """shape_stream in the lane-packed layout (same modules-by-name,
+        same parameters, same math — see models/packed_stream.py). The
+        full-resolution stream tensors live as (B, H, W/P, P*C) arrays
+        with full 128 lanes instead of lane-padded narrow maps."""
+        from ..ops.packed import resize_bilinear_packed, unpack
+        from .packed_stream import stream_packs
+
+        conv2, conv3, conv4, conv5 = taps
+        h, w = x.shape[1], x.shape[2]
+        pk = stream_packs(w)
+        p1 = pk[1]
+        ss = resize_bilinear_packed(self.d0(conv2), (h, w), pk[64])
+        ss = self.res1(ss, pk[64], train)
+        ss = self.d1(ss, pk[64], pk[32])
+        c3 = resize_bilinear_packed(self.c3(conv3), (h, w), p1)
+        ss, g1 = self.gate1(ss, c3, pk[32], p1, train)
+        ss = self.res2(ss, pk[32], train)
+        ss = self.d2(ss, pk[32], pk[16])
+        c4 = resize_bilinear_packed(self.c4(conv4), (h, w), p1)
+        ss, g2 = self.gate2(ss, c4, pk[16], p1, train)
+        ss = self.res3(ss, pk[16], train)
+        ss = self.d3(ss, pk[16], pk[8])
+        c5 = resize_bilinear_packed(self.c5(conv5), (h, w), p1)
+        ss, g3 = self.gate3(ss, c5, pk[8], p1, train)
+        ss = self.fuse(ss, pk[8], p1)
+        edge = nn.sigmoid(unpack(ss, 1).astype(jnp.float32))
+        return edge, tuple(unpack(g, 1) for g in (g1, g2, g3))
 
     def shape_stream_inputs(self, taps, x):
         """XLA precompute for the fused shape-stream kernel: the resized

@@ -208,6 +208,55 @@ def broadcast_1ch(xp, p_in, c_out, p_out):
     return out.reshape(b, h, v * r, p_out * c_out)
 
 
+@functools.lru_cache(maxsize=None)
+def _sel_convtr4x2(p_in: int, p_out: int):
+    """Placement for the k=4/s=2/p=1 transposed conv (torch semantics,
+    out[o] = sum_{i,k: o = 2i + k - 1} x[i] * K[k]) on packed columns.
+
+    Returns M (2, 2, 3, P_in, P_out, 4, 4): [h-parity j, h-tap t, w-col
+    offset u, in pack-pixel, out pack-pixel, kh, kw] one-hot."""
+    m = np.zeros((2, 2, 3, p_in, p_out, 4, 4), dtype=np.float32)
+    kh_for = {0: (3, 1), 1: (2, 0)}  # parity -> (upper-row tap, lower)
+    for j in (0, 1):
+        for t in (0, 1):
+            kh = kh_for[j][t]
+            for u in (0, 1, 2):
+                for pi in range(p_in):
+                    for po in range(p_out):
+                        kw = po - 2 * (p_in * (u - 1) + pi) + 1
+                        if 0 <= kw < 4:
+                            m[j, t, u, pi, po, kh, kw] = 1.0
+    return m
+
+
+def packed_convtr4x2(xp, kernel, c_in, p_in, c_out, bias=None):
+    """Transposed conv (kernel 4x4, stride 2, torch padding=1 — i.e. the
+    exact-2x upsampler of flax ConvTranspose(k=4, s=2, 'SAME')) on a
+    packed tensor. Output pack is 2*P_in (width doubles, channel count
+    drops), H parity computed as two window-(2, 3) convs whose rows
+    interleave by contiguous reshape.
+
+    kernel: (4, 4, C_in, C_out) dense flax ConvTranspose kernel."""
+    p_out = 2 * p_in
+    b, h, v, _ = xp.shape
+    dt = xp.dtype
+    sel = jnp.asarray(_sel_convtr4x2(p_in, p_out), dt)
+    # (j, t, u, pi, po, kh, kw) x (kh, kw, ci, co) -> (j, t, u, pi*ci, po*co)
+    wp = jnp.einsum("jtupqhw,hwio->jtupiqo", sel, kernel.astype(dt))
+    wp = wp.reshape(2, 2, 3, p_in * c_in, p_out * c_out)
+    pads = (((1, 0), (1, 1)), ((0, 1), (1, 1)))
+    ys = [
+        jax.lax.conv_general_dilated(
+            xp, wp[j], window_strides=(1, 1), padding=pads[j],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        for j in (0, 1)
+    ]
+    out = jnp.stack(ys, axis=2).reshape(b, 2 * h, v, p_out * c_out)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(dt), p_out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # packed batch norm pieces
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ impossible (XLA fuses across segment boundaries), but the deltas are the
 decision-grade signal.
 
 Env: PROF_BATCH (64), PROF_HW (224), PROF_STEPS (10), PROF_CONCAT
-(chain|buffer), PROF_REMAT=1.
+(chain|buffer), PROF_REMAT=1, PROF_STREAM (xla|packed).
 """
 from __future__ import annotations
 
@@ -35,6 +35,7 @@ HW = int(os.environ.get("PROF_HW", "224"))
 STEPS = int(os.environ.get("PROF_STEPS", "10"))
 CONCAT = os.environ.get("PROF_CONCAT", "chain")
 REMAT = os.environ.get("PROF_REMAT", "0") == "1"
+STREAM = os.environ.get("PROF_STREAM", "xla")
 
 
 def _sync(out):
@@ -77,13 +78,13 @@ def main():
             (rs.rand(B, HW, HW, 1) > 0.8).astype(np.float32)),
     }
     model = SAUNet(num_classes=4, dtype=jnp.bfloat16, remat=REMAT,
-                   encoder_concat=CONCAT)
+                   encoder_concat=CONCAT, stream_impl=STREAM)
     tx = radam(1e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                input_shape=(1, HW, HW, 3),
                                init_on_cpu=True)
     print(f"batch {B} @ {HW}²  concat={CONCAT} remat={REMAT} "
-          f"device {jax.devices()[0].platform}")
+          f"stream={STREAM} device {jax.devices()[0].platform}")
 
     def enc_loss(params, stats, images):
         (taps, mut) = model.apply(
