@@ -90,21 +90,38 @@ class PConv1x1(nn.Module):
 
 
 class PConv3x3(nn.Module):
-    """Packed 3x3 SAME conv; param-compatible with nn.Conv(features, (3, 3))."""
+    """Packed 3x3 SAME conv; param-compatible with nn.Conv(features, (3, 3)).
+
+    Input may be a channel-split part list [(xp, c), ...] (all at pack
+    `p`, channels in order summing to c_in): conv(concat(parts)) is
+    computed as the sum of per-part convs with the kernel sliced along
+    its input-channel axis, so the lane-interleaving concat never
+    happens."""
     features: int
     c_in: int
     use_bias: bool = False
     kernel_init: Callable = kaiming_normal_out
 
     @nn.compact
-    def __call__(self, xp, p: int):
+    def __call__(self, x, p: int):
         kernel = self.param("kernel", self.kernel_init,
                             (3, 3, self.c_in, self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
-        return packed_conv3x3(xp, kernel, self.c_in, p, self.features,
-                              bias=bias)
+        if isinstance(x, (list, tuple)):
+            out, off = None, 0
+            for xp, c in x:
+                y = packed_conv3x3(xp, kernel[:, :, off:off + c, :], c, p,
+                                   self.features)
+                out = y if out is None else out + y
+                off += c
+            assert off == self.c_in, (off, self.c_in)
+        else:
+            out = packed_conv3x3(x, kernel, self.c_in, p, self.features)
+        if bias is not None:
+            out = out + jnp.tile(bias.astype(out.dtype), p)
+        return out
 
 
 class _ParamConv(nn.Module):
@@ -192,6 +209,90 @@ class PResBasicBlock(nn.Module):
         out = self.conv2(out, p)
         out = self.bn2([(out, self.planes, p)], train)[0]
         return self.act(out + residual)
+
+
+class _ParamConvTr(nn.Module):
+    """Bare parameter holder with nn.ConvTranspose's (4, 4) param tree."""
+    features: int
+    c_in: int
+    kernel_init: Callable = kaiming_normal_out
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (4, 4, self.c_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class PConvBNRelu(nn.Module):
+    """Packed Conv-BN-ReLU; param-compatible with blocks.ConvBNRelu
+    (children Conv_0 / BatchNorm_0). kernel=3 keeps the pack (and accepts
+    a channel-split part list); kernel=1 may repack (p_in -> p_out)."""
+    features: int
+    c_in: int
+    kernel: int = 3
+    act: Callable = nn.relu
+
+    def setup(self):
+        if self.kernel == 3:
+            self.conv = PConv3x3(self.features, self.c_in, use_bias=True,
+                                 name="Conv_0")
+        else:
+            self.conv = PConv1x1(self.features, self.c_in, use_bias=True,
+                                 name="Conv_0")
+        self.bn = PBatchNorm(self.features, name="BatchNorm_0")
+
+    def __call__(self, x, p_in: int, p_out: int, train: bool = True):
+        if self.kernel == 3:
+            assert p_in == p_out, (p_in, p_out)
+            y = self.conv(x, p_in)
+        else:
+            y = self.conv(x, p_in, p_out)
+        y = self.bn([(y, self.features, p_out)], train)[0]
+        return self.act(y)
+
+
+class PConvTrBNRelu(nn.Module):
+    """Packed ConvTranspose(4, 4, s2)-BN-ReLU 2x upsampler;
+    param-compatible with blocks.ConvTransposeBNRelu (children
+    ConvTranspose_0 / BatchNorm_0). Output pack is 2 * p_in."""
+    features: int
+    c_in: int
+    act: Callable = nn.relu
+
+    def setup(self):
+        self.tr = _ParamConvTr(self.features, self.c_in,
+                               name="ConvTranspose_0")
+        self.bn = PBatchNorm(self.features, name="BatchNorm_0")
+
+    def __call__(self, xp, p_in: int, train: bool = True):
+        from ..ops.packed import packed_convtr4x2
+
+        k, b = self.tr()
+        y = packed_convtr4x2(xp, k.astype(xp.dtype), self.c_in, p_in,
+                             self.features, bias=b)
+        y = self.bn([(y, self.features, 2 * p_in)], train)[0]
+        return self.act(y)
+
+
+class PDecoderBlock(nn.Module):
+    """Packed DecoderBlock (conv3x3-BN-ReLU then 2x transpose upsample);
+    param-compatible with blocks.DecoderBlock (children conv / up)."""
+    middle_channels: int
+    out_channels: int
+    c_in: int
+    act: Callable = nn.relu
+
+    def setup(self):
+        self.conv = PConvBNRelu(self.middle_channels, self.c_in, kernel=3,
+                                act=self.act, name="conv")
+        self.up = PConvTrBNRelu(self.out_channels, self.middle_channels,
+                                act=self.act, name="up")
+
+    def __call__(self, xp, p: int, train: bool = True):
+        return self.up(self.conv(xp, p, p, train), p, train)
 
 
 class PGatedSpatialConv(nn.Module):

@@ -109,24 +109,43 @@ class SAUNet(nn.Module):
             raise ValueError(f"stream_impl must be 'xla' or 'packed', "
                              f"got {self.stream_impl!r}")
 
-        # edge fusion
-        self.cw = nn.Conv(1, (1, 1), use_bias=False,
-                          kernel_init=kaiming_normal_out, dtype=dt)
-        self.expand = ConvBNRelu(self.num_filters, kernel=1, dtype=dt,
-                                 act=act)
-
-        # decoder
+        # decoder trunk (dual attention) — dense in both impls
         self.center = ConvBNRelu(self.num_filters * 16, kernel=3, dtype=dt,
                                  act=act)
         self.dec5 = DualAttBlock(512, dtype=dt, act=act)
         self.dec4 = DualAttBlock(256, dtype=dt, act=act)
         self.dec3 = DualAttBlock(128, dtype=dt, act=act)
         self.dec2 = DualAttBlock(64, dtype=dt, act=act)
-        self.dec1 = DecoderBlock(48, self.num_filters, dtype=dt, act=act)
-        self.dec0 = ConvBNRelu(self.num_filters, kernel=3, dtype=dt,
-                               act=act)
-        self.final = nn.Conv(self.num_classes, (1, 1),
-                             kernel_init=kaiming_normal_out, dtype=dt)
+
+        # edge fusion + full-resolution tail — packed or dense
+        if self.stream_impl == "packed":
+            from .packed_stream import (
+                PConv1x1,
+                PConvBNRelu,
+                PDecoderBlock,
+                _ParamConv,
+            )
+            self.cw = _ParamConv(1, c_in=2, use_bias=False)
+            self.expand = PConvBNRelu(self.num_filters, c_in=1, kernel=1,
+                                      act=act)
+            self.dec1 = PDecoderBlock(48, self.num_filters, c_in=64,
+                                      act=act)
+            self.dec0 = PConvBNRelu(self.num_filters,
+                                    c_in=self.num_filters * 2, kernel=3,
+                                    act=act)
+            self.final = PConv1x1(self.num_classes,
+                                  c_in=self.num_filters)
+        else:
+            self.cw = nn.Conv(1, (1, 1), use_bias=False,
+                              kernel_init=kaiming_normal_out, dtype=dt)
+            self.expand = ConvBNRelu(self.num_filters, kernel=1, dtype=dt,
+                                     act=act)
+            self.dec1 = DecoderBlock(48, self.num_filters, dtype=dt,
+                                     act=act)
+            self.dec0 = ConvBNRelu(self.num_filters, kernel=3, dtype=dt,
+                                   act=act)
+            self.final = nn.Conv(self.num_classes, (1, 1),
+                                 kernel_init=kaiming_normal_out, dtype=dt)
 
     def _canny(self, gray):
         # The fused whole-image kernel holds ~18 live (H, W) f32 buffers in
@@ -186,11 +205,20 @@ class SAUNet(nn.Module):
         return nn.sigmoid(ss.astype(jnp.float32)), (g1, g2, g3)
 
     def _shape_stream_packed(self, taps, x, train: bool = True):
+        """shape_stream contract (dense edge map + dense gate maps) on
+        top of the packed core."""
+        from ..ops.packed import unpack
+
+        edge_p, gates_p = self._shape_stream_packed_core(taps, x, train)
+        return unpack(edge_p, 1), tuple(unpack(g, 1) for g in gates_p)
+
+    def _shape_stream_packed_core(self, taps, x, train: bool = True):
         """shape_stream in the lane-packed layout (same modules-by-name,
         same parameters, same math — see models/packed_stream.py). The
         full-resolution stream tensors live as (B, H, W/P, P*C) arrays
-        with full 128 lanes instead of lane-padded narrow maps."""
-        from ..ops.packed import resize_bilinear_packed, unpack
+        with full 128 lanes instead of lane-padded narrow maps. Returns
+        the packed (1-channel @ pk[1]) edge map and gate maps."""
+        from ..ops.packed import resize_bilinear_packed
         from .packed_stream import stream_packs
 
         conv2, conv3, conv4, conv5 = taps
@@ -211,8 +239,7 @@ class SAUNet(nn.Module):
         c5 = resize_bilinear_packed(self.c5(conv5), (h, w), p1)
         ss, g3 = self.gate3(ss, c5, pk[8], p1, train)
         ss = self.fuse(ss, pk[8], p1)
-        edge = nn.sigmoid(unpack(ss, 1).astype(jnp.float32))
-        return edge, tuple(unpack(g, 1) for g in (g1, g2, g3))
+        return nn.sigmoid(ss.astype(jnp.float32)), (g1, g2, g3)
 
     def shape_stream_inputs(self, taps, x):
         """XLA precompute for the fused shape-stream kernel: the resized
@@ -228,35 +255,10 @@ class SAUNet(nn.Module):
         c5 = resize_bilinear(self.c5(conv5), (h, w))
         return jnp.concatenate([r0, c3, c4, c5], axis=-1)
 
-    def decode(self, taps, x, train: bool = True, return_att: bool = False,
-               edge_out=None):
-        """Everything after the encoder: shape stream, edge fusion,
-        dual-attention decoder, classifier head. `taps` = (f2, f3, f4, f5)
-        at 1/4..1/16 resolution; `x` is the network input (for the edge
-        operator). Standalone entry point for the fused-encoder eval path;
-        `edge_out` short-circuits the shape stream when the fused Pallas
-        kernel already produced it (eval only, no gate maps).
-        """
+    def _dualatt_decoder(self, taps, train: bool):
+        """The dual-attention decoder trunk (center .. dec2) shared by the
+        dense and packed tails. Returns (dec2, (att2..att5))."""
         conv2, conv3, conv4, conv5 = taps
-        dt = self.dtype
-        x = x.astype(dt)
-
-        # --- Shape stream (full-res, tiny channels) ----------------------
-        if edge_out is None:
-            edge_out, (g1, g2, g3) = self.shape_stream(taps, x, train)
-        elif return_att:
-            raise ValueError("return_att needs the XLA shape stream "
-                             "(gate maps); do not pass edge_out")
-
-        # --- On-device edge detection (replaces CPU Canny) ---------------
-        gray = image_to_gray255(x)
-        canny = jax.lax.stop_gradient(self._canny(gray)).astype(dt)
-
-        cat = jnp.concatenate([edge_out.astype(dt), canny], axis=-1)
-        acts = nn.sigmoid(self.cw(cat))
-        edge = self.expand(acts, train)
-
-        # --- Decoder (dual attention) ------------------------------------
         conv2u = resize_bilinear(conv2,
                                  (conv2.shape[1] * 2, conv2.shape[2] * 2))
         conv3u = resize_bilinear(conv3,
@@ -269,22 +271,126 @@ class SAUNet(nn.Module):
         dec4, att4 = self.dec4([dec5, conv4u], train)
         dec3, att3 = self.dec3([dec4, conv3u], train)
         dec2, att2 = self.dec2([dec3, conv2u], train)
+        return dec2, (att2, att3, att4, att5)
+
+    @staticmethod
+    def _upsampled_atts(atts, gates):
+        att2, att3, att4, att5 = atts
+        return [
+            resize_bilinear(att2, (att2.shape[1] * 2, att2.shape[2] * 2)),
+            resize_bilinear(att3, (att3.shape[1] * 4, att3.shape[2] * 4)),
+            resize_bilinear(att4, (att4.shape[1] * 8, att4.shape[2] * 8)),
+            resize_bilinear(att5, (att5.shape[1] * 16, att5.shape[2] * 16)),
+            *gates,
+        ]
+
+    def decode(self, taps, x, train: bool = True, return_att: bool = False,
+               edge_out=None):
+        """Everything after the encoder: shape stream, edge fusion,
+        dual-attention decoder, classifier head. `taps` = (f2, f3, f4, f5)
+        at 1/4..1/16 resolution; `x` is the network input (for the edge
+        operator). Standalone entry point for the fused-encoder eval path;
+        `edge_out` short-circuits the shape stream when the fused Pallas
+        kernel already produced it (eval only, no gate maps).
+        """
+        if edge_out is not None and return_att:
+            raise ValueError("return_att needs the XLA shape stream "
+                             "(gate maps); do not pass edge_out")
+        dt = self.dtype
+        x = x.astype(dt)
+
+        if self.stream_impl == "packed":
+            from ..ops.packed import unpack
+            seg_p, edge_p, gates_p, atts = self._decode_packed(
+                taps, x, train, edge_out=edge_out)
+            x_out = unpack(seg_p, self.num_classes).astype(jnp.float32)
+            if edge_out is None:
+                edge_out = unpack(edge_p, 1)
+            if return_att:
+                gates = tuple(unpack(g, 1) for g in gates_p)
+                return x_out, edge_out, self._upsampled_atts(atts, gates)
+            return x_out, edge_out
+
+        # --- Shape stream (full-res, tiny channels) ----------------------
+        gates = ()
+        if edge_out is None:
+            edge_out, gates = self.shape_stream(taps, x, train)
+
+        # --- On-device edge detection (replaces CPU Canny) ---------------
+        gray = image_to_gray255(x)
+        canny = jax.lax.stop_gradient(self._canny(gray)).astype(dt)
+
+        cat = jnp.concatenate([edge_out.astype(dt), canny], axis=-1)
+        acts = nn.sigmoid(self.cw(cat))
+        edge = self.expand(acts, train)
+
+        dec2, atts = self._dualatt_decoder(taps, train)
         dec1 = self.dec1(dec2, train)
         dec0 = self.dec0(jnp.concatenate([dec1, edge], axis=-1), train)
 
         x_out = self.final(dec0).astype(jnp.float32)
 
         if return_att:
-            atts = [
-                resize_bilinear(att2, (att2.shape[1] * 2,
-                                       att2.shape[2] * 2)),
-                resize_bilinear(att3, (att3.shape[1] * 4,
-                                       att3.shape[2] * 4)),
-                resize_bilinear(att4, (att4.shape[1] * 8,
-                                       att4.shape[2] * 8)),
-                resize_bilinear(att5, (att5.shape[1] * 16,
-                                       att5.shape[2] * 16)),
-                g1, g2, g3,
-            ]
-            return x_out, edge_out, atts
+            return x_out, edge_out, self._upsampled_atts(atts, gates)
         return x_out, edge_out
+
+    def _decode_packed(self, taps, x, train: bool, edge_out=None):
+        """The lane-packed tail: edge fusion, dec1/dec0/final and the
+        classifier head all run in packed layout — the padded full-res
+        32-channel maps and the 32x-padded (N, H, W, C) logits never
+        reach HBM. Returns (seg_packed, edge_packed, gate_maps_packed,
+        atts)."""
+        from ..ops.packed import pack
+        from .packed_stream import stream_packs
+
+        dt = self.dtype
+        h, w = x.shape[1], x.shape[2]
+        pk = stream_packs(w)
+        p1, p32 = pk[1], pk[32]
+        if p32 % 2 != 0:
+            raise ValueError(
+                f"stream_impl='packed' needs an even input width with a "
+                f"2-divisible 32-channel pack; got width {w} (packs {pk}). "
+                f"Use stream_impl='xla' for this geometry.")
+        nf = self.num_filters
+
+        if edge_out is None:
+            edge_p, gates_p = self._shape_stream_packed_core(taps, x, train)
+        else:
+            edge_p = pack(edge_out.astype(jnp.float32), p1)
+            gates_p = ()
+
+        gray = image_to_gray255(x)
+        canny_p = pack(
+            jax.lax.stop_gradient(self._canny(gray)).astype(dt), p1)
+        kcw, _ = self.cw()
+        kcw = kcw.astype(dt)
+        acts = nn.sigmoid(edge_p.astype(dt) * kcw[0, 0] + canny_p * kcw[1, 0])
+        edge = self.expand(acts, p1, p32, train)  # nf channels @ p32
+
+        dec2, atts = self._dualatt_decoder(taps, train)
+        dec1 = self.dec1(pack(dec2, p32 // 2), p32 // 2, train)
+        dec0 = self.dec0([(dec1, nf), (edge, nf)], p32, p32, train)
+
+        # classifier head straight into the packed logits layout: the
+        # largest lane-filling multiple of p32 that divides the width
+        pseg, mult = p32, p32
+        while (mult + p32) * self.num_classes <= 128:
+            mult += p32
+            if w % mult == 0:
+                pseg = mult
+        seg_p = self.final(dec0, p32, pseg)
+        return seg_p, edge_p, gates_p, atts
+
+    def train_outputs(self, x, train: bool = True):
+        """Forward pass emitting (seg, edge) in the layout the train loss
+        consumes: lane-packed for stream_impl='packed' (losses.
+        dual_loss_packed), dense otherwise. The packed path never
+        materialises the 32x-lane-padded dense logits."""
+        if self.stream_impl != "packed":
+            return self(x, train)
+        x = x.astype(self.dtype)
+        _, f2, f3, f4, f5 = self.encoder(x, train)
+        seg_p, edge_p, _, _ = self._decode_packed((f2, f3, f4, f5), x,
+                                                  train)
+        return seg_p, edge_p

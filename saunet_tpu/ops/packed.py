@@ -241,6 +241,10 @@ def packed_convtr4x2(xp, kernel, c_in, p_in, c_out, bias=None):
     b, h, v, _ = xp.shape
     dt = xp.dtype
     sel = jnp.asarray(_sel_convtr4x2(p_in, p_out), dt)
+    # lax.conv_transpose (flax ConvTranspose) does not flip the kernel, so
+    # its tap indexing is the spatial mirror of the torch-semantics
+    # formula the selector encodes.
+    kernel = kernel[::-1, ::-1]
     # (j, t, u, pi, po, kh, kw) x (kh, kw, ci, co) -> (j, t, u, pi*ci, po*co)
     wp = jnp.einsum("jtupqhw,hwio->jtupiqo", sel, kernel.astype(dt))
     wp = wp.reshape(2, 2, 3, p_in * c_in, p_out * c_out)
@@ -284,6 +288,35 @@ def packed_scale_bias(xp, scale_c, bias_c, c):
     dt = xp.dtype
     return xp * jnp.tile(scale_c.astype(dt), p) + jnp.tile(
         bias_c.astype(dt), p)
+
+
+def packed_argmax(xp, c):
+    """Per-pixel argmax over the C classes of packed logits
+    (N, H, W/P, P*C) -> (N, H, W) int32, first-max-wins (jnp.argmax
+    semantics). Lane rolls + selector matmuls on the packed tensor —
+    never materialises the lane-padded (N, H, W, C) layout."""
+    n, h, v, lanes = xp.shape
+    p = lanes // c
+    x = xp.astype(jnp.float32)
+    m = x
+    for sh in range(1, c):
+        m = jnp.maximum(m, jnp.roll(x, -sh, axis=-1))
+    # group-start lanes now hold their group's max (cyclic contamination
+    # only ever reaches lanes past the group start)
+    first = np.zeros((lanes, p), dtype=np.float32)
+    for pix in range(p):
+        first[pix * c, pix] = 1.0
+    sel_first = jnp.asarray(first)
+    grp = np.kron(np.eye(p, dtype=np.float32), np.ones((c, 1), np.float32))
+    sel_grp = jnp.asarray(grp)  # (lanes, p): lane -> its pixel
+    mx = (m @ sel_first) @ sel_grp.T
+    cls = jnp.tile(jnp.arange(c, dtype=jnp.float32), p)
+    cand = jnp.where(x >= mx, cls, float(c))
+    mn = cand
+    for sh in range(1, c):
+        mn = jnp.minimum(mn, jnp.roll(cand, -sh, axis=-1))
+    preds = mn @ sel_first  # (n, h, v, p)
+    return preds.reshape(n, h, v * p).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -104,6 +105,87 @@ def dual_loss(
                                 sample_mask=sample_mask)
     dice = dice_loss(seg_targets, seg_logits, sample_mask=sample_mask)
     edge = edge_bce(edge_probs, edge_targets, sample_mask=sample_mask)
+    total = dice + ce + edge
+    return total, {"loss": total, "ce": ce, "dice": dice, "edge": edge}
+
+
+def dual_loss_packed(
+    seg_packed: jnp.ndarray,    # (N, H, W/P, P*C) packed logits
+    edge_packed: jnp.ndarray,   # (N, H, W/Pe, Pe) packed sigmoid edge
+    seg_targets: jnp.ndarray,   # (N, H, W) int
+    edge_targets: jnp.ndarray,  # (N, H, W) or (N, H, W, 1) {0,1}
+    num_classes: int = 4,
+    class_weights=DEFAULT_CLASS_WEIGHTS,
+    eps: float = 1e-7,
+    sample_mask=None,
+) -> Tuple[jnp.ndarray, dict]:
+    """dual_loss computed directly on lane-packed model outputs.
+
+    Mathematically identical to `dual_loss` (tested), but the (N, H, W, C)
+    logits tensor — which HBM stores padded to 128 lanes, 32x its nominal
+    size for C=4 — never exists: softmax/CE/dice run on the packed layout
+    via per-group selector matmuls and elementwise ops. The softmax shift
+    is the per-pixel group *mean* (a matmul; the max would need lane
+    shuffles), exact for logsumexp and overflow-safe while logit spread
+    within a pixel stays < ~160 in f32 — segmentation logits are O(10).
+    """
+    n, h, v, lanes = seg_packed.shape
+    c = num_classes
+    p = lanes // c
+    x = seg_packed.astype(jnp.float32)
+
+    # selectors: lane l = pix*C + cls
+    sel_group = jnp.asarray(
+        np.kron(np.eye(p, dtype=np.float32), np.ones((c, 1), np.float32)))
+    sel_class = jnp.asarray(
+        np.tile(np.eye(c, dtype=np.float32), (p, 1)))   # (lanes, C)
+
+    avg_g = (x @ sel_group) / c                        # (N,H,V,P)
+    avg = avg_g @ sel_group.T                          # per-lane group mean
+    e = jnp.exp(x - avg)
+    se_g = e @ sel_group                               # group sum-exp
+    lse = (jnp.log(se_g) + avg_g) @ sel_group.T
+    logp = x - lse
+    probas = jnp.exp(logp)
+
+    labels_lane = (seg_targets.astype(jnp.float32).reshape(n, h, v, p)
+                   @ sel_group.T)                      # pixel label per lane
+    class_pattern = jnp.tile(jnp.arange(c, dtype=jnp.float32), p)
+    onehot = (labels_lane == class_pattern).astype(jnp.float32)
+    w_pattern = jnp.tile(jnp.asarray(class_weights, jnp.float32), p)
+
+    m = None
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)[:, None, None, None]
+        onehot_m = onehot * m
+    else:
+        onehot_m = onehot
+
+    # weighted CE: sum_pixels w[label] * nll / sum w[label]
+    wsel = onehot_m * w_pattern
+    ce = -jnp.sum(wsel * logp) / jnp.sum(wsel)
+
+    # soft dice, per-class reductions via the class selector
+    probas_m = probas * m if m is not None else probas
+    inter = jnp.einsum("nhvl,lc->c", probas_m * onehot, sel_class)
+    card = jnp.einsum("nhvl,lc->c", probas_m + onehot_m, sel_class)
+    dice = 1.0 - jnp.mean(2.0 * inter / (card + eps))
+
+    # edge BCE on the packed edge map
+    if edge_targets.ndim == 4:
+        edge_targets = edge_targets[..., 0]
+    pe = edge_packed.shape[-1]
+    et = edge_targets.astype(jnp.float32).reshape(
+        n, h, edge_targets.shape[2] // pe, pe)
+    pclip = jnp.clip(edge_packed.astype(jnp.float32), eps, 1.0 - eps)
+    ll = et * jnp.log(pclip) + (1.0 - et) * jnp.log(1.0 - pclip)
+    if sample_mask is None:
+        edge = -jnp.mean(ll)
+    else:
+        mm = sample_mask.astype(jnp.float32)
+        px = float(np_prod(ll.shape[1:]))
+        edge = -jnp.sum(ll * mm[:, None, None, None]) / (jnp.sum(mm) * px)
+
     total = dice + ce + edge
     return total, {"loss": total, "ce": ce, "dice": dice, "edge": edge}
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from .losses import DEFAULT_CLASS_WEIGHTS, dual_loss
+from .losses import DEFAULT_CLASS_WEIGHTS, dual_loss, dual_loss_packed
 from .metrics import pixel_acc
 
 
@@ -96,21 +96,30 @@ def make_train_step(model, tx: optax.GradientTransformation,
     while all parameters (including BN affine) still receive gradients.
     """
 
+    # Packed stream models emit lane-packed (seg, edge) via train_outputs
+    # and the loss/metrics consume them packed — the 32x-lane-padded
+    # (N, H, W, C) logits tensor never exists in the train program.
+    packed = getattr(model, "stream_impl", "xla") == "packed"
+
     def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        apply_kw = {"method": "train_outputs"} if packed else {}
         if fix_bn:
-            seg, edge = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch["image"], train=False,
-            )
+            seg, edge = model.apply(variables, batch["image"], False,
+                                    **apply_kw)
             mut_stats = batch_stats
         else:
             (seg, edge), mut = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch["image"], train=True, mutable=["batch_stats"],
-            )
+                variables, batch["image"], True,
+                mutable=["batch_stats"], **apply_kw)
             mut_stats = mut["batch_stats"]
-        total, parts = dual_loss(seg, edge, batch["label"], batch["edge"],
-                                 class_weights)
+        if packed:
+            total, parts = dual_loss_packed(
+                seg, edge, batch["label"], batch["edge"],
+                num_classes=num_class, class_weights=class_weights)
+        else:
+            total, parts = dual_loss(seg, edge, batch["label"],
+                                     batch["edge"], class_weights)
         return total, (mut_stats, seg, parts)
 
     def step_fn(state: TrainState, batch: dict, rng) -> Tuple[TrainState, dict]:
@@ -123,7 +132,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        preds = jnp.argmax(seg, axis=-1)
+        if packed:
+            from ..ops.packed import packed_argmax
+            preds = packed_argmax(seg, num_class)
+        else:
+            preds = jnp.argmax(seg, axis=-1)
         acc, jaccard = pixel_acc(preds, batch["label"], num_class)
         metrics = dict(parts)
         metrics["acc"] = acc

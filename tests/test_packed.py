@@ -155,3 +155,33 @@ def test_resize_bilinear_packed(hw_in, hw_out, c, p):
     ref = resize_bilinear(x, hw_out)
     got = unpack(resize_bilinear_packed(x, hw_out, p), c)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,p", [(4, 2, 2), (2, 4, 4), (48, 32, 2),
+                                        (3, 5, 1)])
+def test_packed_convtr4x2(cin, cout, p):
+    from flax import linen as nn
+    from saunet_tpu.ops.packed import packed_convtr4x2
+
+    x = _rand(2, 6, 16, cin, seed=20)
+    mod = nn.ConvTranspose(cout, (4, 4), strides=(2, 2), padding="SAME")
+    v = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(v, x)
+    got = unpack(packed_convtr4x2(pack(x, p), v["params"]["kernel"], cin, p,
+                                  cout, bias=v["params"]["bias"]), cout)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_argmax():
+    from saunet_tpu.ops.packed import packed_argmax
+
+    for c, p, seed in [(4, 8, 21), (3, 4, 22), (5, 2, 23)]:
+        x = _rand(2, 3, 8 * p // p * p, c, seed=seed)  # W divisible by p
+        ref = jnp.argmax(x, axis=-1)
+        got = packed_argmax(pack(x, p), c)
+        np.testing.assert_array_equal(got, ref)
+    # ties resolve to the first (lowest) class, like jnp.argmax
+    t = jnp.zeros((1, 1, 4, 3))
+    np.testing.assert_array_equal(packed_argmax(pack(t, 2), 3),
+                                  jnp.argmax(t, axis=-1))

@@ -196,3 +196,71 @@ def test_saunet_packed_eval_and_return_att():
     for ar, ap in zip(atts_r, atts_p):
         assert ar.shape == ap.shape
         np.testing.assert_allclose(ap, ar, rtol=1e-3, atol=1e-3)
+
+
+def test_dual_loss_packed_matches_dense():
+    from saunet_tpu.train.losses import dual_loss, dual_loss_packed
+
+    rs = np.random.RandomState(31)
+    n, h, w, c = 3, 8, 16, 4
+    seg = jnp.asarray(rs.randn(n, h, w, c).astype(np.float32) * 7)
+    edge = jnp.asarray(rs.rand(n, h, w, 1).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, c, size=(n, h, w)))
+    edge_t = jnp.asarray((rs.rand(n, h, w) > 0.7).astype(np.float32))
+
+    for mask in (None, jnp.asarray([1.0, 1.0, 0.0])):
+        ref_total, ref_parts = dual_loss(seg, edge, labels, edge_t,
+                                         sample_mask=mask)
+        got_total, got_parts = dual_loss_packed(
+            pack(seg, 8), pack(edge, 16), labels, edge_t,
+            num_classes=c, sample_mask=mask)
+        np.testing.assert_allclose(got_total, ref_total, rtol=1e-5,
+                                   atol=1e-5)
+        for k in ref_parts:
+            np.testing.assert_allclose(got_parts[k], ref_parts[k],
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_train_outputs_packed_loss_matches_dense_path():
+    """End-to-end: packed train_outputs + dual_loss_packed == dense
+    __call__ + dual_loss under identical parameters."""
+    from saunet_tpu.train.losses import dual_loss, dual_loss_packed
+
+    xla, packed = _tiny_models()
+    rs = np.random.RandomState(32)
+    x = jnp.asarray(rs.rand(2, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 4, size=(2, 32, 32)))
+    edge_t = jnp.asarray((rs.rand(2, 32, 32) > 0.8).astype(np.float32))
+    v = xla.init(jax.random.PRNGKey(8), x, True)
+
+    (seg_r, edge_r), _ = xla.apply(v, x, True, mutable=["batch_stats"])
+    ref_total, _ = dual_loss(seg_r, edge_r, labels, edge_t)
+
+    (seg_p, edge_p), _ = packed.apply(v, x, True, mutable=["batch_stats"],
+                                      method="train_outputs")
+    got_total, _ = dual_loss_packed(seg_p, edge_p, labels, edge_t)
+    np.testing.assert_allclose(got_total, ref_total, rtol=2e-3, atol=2e-3)
+
+
+def test_packed_train_step_runs():
+    """make_train_step dispatches the packed loss path and produces
+    finite metrics + updated state for a packed model."""
+    import optax
+    from saunet_tpu.train import create_train_state, make_train_step
+
+    model = SAUNet(num_classes=4, edge_kernel="xla", stream_impl="packed")
+    tx = optax.sgd(1e-3)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 32, 32, 3))
+    rs = np.random.RandomState(33)
+    batch = {
+        "image": jnp.asarray(rs.rand(2, 32, 32, 3).astype(np.float32)),
+        "label": jnp.asarray(rs.randint(0, 4, size=(2, 32, 32))),
+        "edge": jnp.asarray((rs.rand(2, 32, 32) > 0.8)
+                            .astype(np.float32)),
+    }
+    step = make_train_step(model, tx, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["acc"]))
+    assert int(new_state.step) == 1
