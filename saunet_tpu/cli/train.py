@@ -82,6 +82,12 @@ def parse_args(argv=None):
                    help="shape-stream layout: 'packed' cuts the "
                         "narrow-channel full-res HBM traffic; 'auto' "
                         "picks packed whenever the crop width packs well")
+    p.add_argument("--encoder_concat", default="auto",
+                   choices=["auto", "chain", "buffer", "fused"],
+                   help="dense-block concat storage: 'fused' is the "
+                        "residual-lean custom-VJP block (least HBM "
+                        "traffic, see ops/dense_block_train.py); 'auto' "
+                        "picks fused for training")
     p.add_argument("--no_deform", action="store_true",
                    help="disable elastic deformation")
     p.add_argument("--slice_cache", default="",
@@ -194,8 +200,16 @@ def main(argv=None):
         from ..models.packed_stream import packed_stream_worthwhile
         stream_impl = ("packed" if packed_stream_worthwhile(args.crop_size)
                        else "xla")
+    encoder_concat = args.encoder_concat
+    if encoder_concat == "auto":
+        # measured on v5e @224² b64: chain 307 ms/step vs fused 382 —
+        # XLA's concat fusion currently beats the residual-lean custom
+        # VJP (lane-unaligned 32-channel buffer slices cost more than the
+        # saved copies); keep chain until the fused path wins on-chip.
+        encoder_concat = "chain"
     model = build_unet(num_class=args.num_class, arch=args.unet_arch,
-                       dtype=args.dtype, stream_impl=stream_impl)
+                       dtype=args.dtype, stream_impl=stream_impl,
+                       encoder_concat=encoder_concat)
     schedule = cosine_epoch_schedule(args.lr_encoder, args.num_epoch,
                                      steps_per_epoch)
     tx = create_optimizer(args.optimizer, schedule, beta1=args.beta1,

@@ -57,6 +57,54 @@ class DenseLayer(nn.Module):
         return h
 
 
+class _BNVars(nn.Module):
+    """Declare a BatchNorm's parameter/stat leaves (scale/bias +
+    batch_stats mean/var) with flax-identical names, shapes, inits and
+    dtypes — WITHOUT computing anything. Lets the fused dense block own
+    the math while staying checkpoint-compatible with `nn.BatchNorm`."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda s: jnp.zeros(s, jnp.float32),
+                             (self.features,))
+        var = self.variable("batch_stats", "var",
+                            lambda s: jnp.ones(s, jnp.float32),
+                            (self.features,))
+        return scale, bias, mean, var
+
+
+class _ConvVars(nn.Module):
+    """Declare an `nn.Conv(use_bias=False)`-compatible kernel leaf."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_normal_out, self.shape,
+                          jnp.float32)
+
+
+class _DenseLayerVars(nn.Module):
+    """Variable tree of one DenseLayer (norm1/conv1/norm2/conv2), names
+    and leaves identical to the chain-mode `DenseLayer` — checkpoints and
+    pretrained ports are layout-independent across concat modes."""
+    c_in: int
+
+    @nn.compact
+    def __call__(self):
+        hidden = BN_SIZE * GROWTH_RATE
+        n1 = _BNVars(self.c_in, name="norm1")()
+        w1 = _ConvVars((1, 1, self.c_in, hidden), name="conv1")()
+        n2 = _BNVars(hidden, name="norm2")()
+        w2 = _ConvVars((3, 3, hidden, GROWTH_RATE), name="conv2")()
+        return n1, w1, n2, w2
+
+
 class DenseBlock(nn.Module):
     """Dense block; `concat_mode` picks how the growing concat is stored:
 
@@ -67,9 +115,14 @@ class DenseBlock(nn.Module):
       dynamic-update-slice each layer's G new channels in place; layers
       read the live prefix. Same values bit-for-bit (layer l still sees
       exactly channels [0:Cl]), but XLA aliases the update in place, so
-      the per-layer full-width copy disappears — the train-path analogue
-      of the eval-side fused kernel's VMEM-resident concat
-      (ops/pallas/dense_block.py).
+      the per-layer full-width copy disappears.
+    * 'fused' — the residual-lean custom-VJP block
+      (ops/dense_block_train.py): in-place buffer + single-pass
+      incremental batch statistics in the forward, and a backward whose
+      only tensor residual is the final buffer (prefixes re-sliced from
+      it, per-layer recompute) — the train-path analogue of the eval-side
+      Pallas kernel's VMEM-resident concat (ops/pallas/dense_block.py).
+      Same variable tree, same math, flax-BatchNorm-exact statistics/EMA.
     """
     num_layers: int
     dtype: Dtype = jnp.float32
@@ -80,6 +133,8 @@ class DenseBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         if self.concat_mode == "buffer":
             return self._call_buffer(x, train)
+        if self.concat_mode == "fused":
+            return self._call_fused(x, train)
         for i in range(self.num_layers):
             new = DenseLayer(dtype=self.dtype, act=self.act,
                              name=f"denselayer{i + 1}")(x, train)
@@ -97,6 +152,47 @@ class DenseBlock(nn.Module):
                              name=f"denselayer{i + 1}")(
                                  buf[..., :cl], train)
             buf = jax.lax.dynamic_update_slice(buf, new, (0, 0, 0, cl))
+        return buf
+
+    def _call_fused(self, x, train: bool):
+        from ..ops.dense_block_train import (
+            dense_block_eval,
+            dense_block_train,
+        )
+        from ..utils.config import cfg as _cfg
+
+        x = x.astype(self.dtype)
+        c0 = x.shape[-1]
+        layers, emas, run_stats = [], [], []
+        for i in range(self.num_layers):
+            cl = c0 + i * GROWTH_RATE
+            (n1s, n1b, m1, v1), w1, (n2s, n2b, m2, v2), w2 = \
+                _DenseLayerVars(cl, name=f"denselayer{i + 1}")()
+            layers.append(dict(n1s=n1s, n1b=n1b, w1=w1,
+                               n2s=n2s, n2b=n2b, w2=w2))
+            emas.append((m1, v1, m2, v2))
+            run_stats.append(dict(m1=m1.value, v1=v1.value,
+                                  m2=m2.value, v2=v2.value))
+
+        eps = float(_cfg.MODEL.BN_EPS)
+        if not train:
+            return dense_block_eval(x, layers, run_stats, eps=eps,
+                                    act=self.act)
+
+        # flax BatchNorm skips axis_name collectives during init
+        axis_name = (None if self.is_initializing()
+                     else _cfg.MODEL.get("BN_AXIS_NAME", None))
+        buf, (g_mu, g_var, stats2) = dense_block_train(
+            x, layers, eps=eps, axis_name=axis_name, act=self.act)
+        if not self.is_initializing():
+            mom = _cfg.MODEL.BN_MOMENTUM
+            for i, (m1, v1, m2, v2) in enumerate(emas):
+                cl = c0 + i * GROWTH_RATE
+                m1.value = mom * m1.value + (1 - mom) * g_mu[:cl]
+                v1.value = mom * v1.value + (1 - mom) * g_var[:cl]
+                mu2, var2 = stats2[i]
+                m2.value = mom * m2.value + (1 - mom) * mu2
+                v2.value = mom * v2.value + (1 - mom) * var2
         return buf
 
 
