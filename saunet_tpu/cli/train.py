@@ -202,10 +202,13 @@ def main(argv=None):
                        else "xla")
     encoder_concat = args.encoder_concat
     if encoder_concat == "auto":
-        # measured on v5e @224² b64: chain 307 ms/step vs fused 382 —
-        # XLA's concat fusion currently beats the residual-lean custom
-        # VJP (lane-unaligned 32-channel buffer slices cost more than the
-        # saved copies); keep chain until the fused path wins on-chip.
+        # measured on v5e @224² b64 (tools/profile_concat.py): chain
+        # encoder fwd+bwd 150.6 ms / 116 GB at 770 GB/s — 94% of the HBM
+        # roofline — vs chunked-fused 396.9 ms / 369 GB: the custom VJP's
+        # per-layer re-reads of the saved concat plus the gradient-prefix
+        # accumulation are themselves O(L²·G) traffic, and XLA's native
+        # concat fusion is already near bandwidth-optimal. Chain stays the
+        # default; 'fused'/'buffer' remain available for other geometries.
         encoder_concat = "chain"
     model = build_unet(num_class=args.num_class, arch=args.unet_arch,
                        dtype=args.dtype, stream_impl=stream_impl,
