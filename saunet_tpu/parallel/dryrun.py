@@ -1,0 +1,169 @@
+"""Multi-chip dry run, isolated in a scrubbed subprocess.
+
+The driver validates the multi-chip sharding path by calling
+``__graft_entry__.dryrun_multichip(n)`` from a process whose interpreter has
+already registered (and possibly initialized) the TPU PJRT plugin: this
+environment injects a ``sitecustomize`` via PYTHONPATH that registers the
+plugin at startup and pins ``JAX_PLATFORMS`` to it. In-process platform
+switching (``jax.config.update('jax_platforms', 'cpu')`` + clear_backends)
+failed in the driver's context two rounds running — primitive dispatch still
+reached the TPU backend. Rather than fight backend state we can't see, the
+dry run now re-executes in a fresh subprocess with a scrubbed environment:
+
+  * PYTHONPATH entries that carry a ``sitecustomize.py``/``usercustomize.py``
+    are dropped, so no plugin registration can happen at interpreter start;
+  * every TPU/plugin env knob (JAX_*, TPU_*, XLA-plugin vars) is removed;
+  * ``JAX_PLATFORMS=cpu`` and
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=<n>`` build the
+    virtual CPU mesh the step is jit-compiled over.
+
+The mesh step itself (``run_mesh_step``) is what the reference's entire
+parallel stack reduces to under SPMD (SURVEY.md §2.3): batch sharded over
+'data' (replacing UserScatteredDataParallel scatter/gather,
+/root/reference/lib/nn/parallel/data_parallel.py:53-96), image-H sharded
+over 'space' (the conv analogue of context parallelism), and batch-norm
+statistics globally reduced by the compiler (replacing the SyncBN thread
+rendezvous, /root/reference/lib/nn/modules/batchnorm.py:98-117).
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
+#: compile artifacts for locally-compiled CPU executables; kept separate
+#: from .jax_cache (TPU programs from the remote compiler). A warm cache
+#: makes re-runs near-instant; cold, the -O0 compile of the full SPMD step
+#: takes ~10 min on one vCPU.
+CPU_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache_cpu")
+
+
+def run_mesh_step(n_devices: int) -> float:
+    """Jit the FULL training step over an n_devices ('data','space') mesh
+    and run one step on tiny shapes. Assumes the current process's JAX is
+    already a CPU platform exposing >= n_devices devices. Returns the loss.
+    """
+    import jax
+
+    from saunet_tpu.models import SAUNet
+    from saunet_tpu.parallel import (make_mesh, shard_batch,
+                                     validate_spatial_partition)
+    from saunet_tpu.train import create_train_state, make_train_step, radam
+
+    devices = jax.devices()[:n_devices]
+    assert devices[0].platform == "cpu", devices
+    assert len(devices) == n_devices, (len(devices), n_devices)
+    space = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    mesh = make_mesh(devices, data=n_devices // space, space=space)
+    # 64² is the smallest crop inside the verified spatial-partition
+    # envelope for space=2 (>= 2 rows of the deepest dense block per
+    # shard — see parallel/mesh.py:MIN_SPATIAL_SHARD_ROWS)
+    hw = 64
+    validate_spatial_partition(hw, space)
+
+    model = SAUNet(num_classes=4)
+    tx = radam(1e-3)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, hw, hw, 3))
+    step = make_train_step(model, tx, donate=False)
+
+    n = n_devices  # one sample per data-parallel rank at minimum
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": rs.randn(n, hw, hw, 3).astype(np.float32),
+        "label": rs.randint(0, 4, size=(n, hw, hw)).astype(np.int32),
+        "edge": (rs.rand(n, hw, hw, 1) > 0.8).astype(np.float32),
+    }
+    batch = shard_batch(batch, mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["loss"])
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), metrics
+    print(f"dryrun_multichip({n_devices}): mesh={dict(mesh.shape)} "
+          f"loss={loss:.4f} ok", flush=True)
+    return loss
+
+
+def _strip_customize_entries(pythonpath: str) -> str:
+    """Drop PYTHONPATH entries whose directory ships a sitecustomize /
+    usercustomize module — the vector by which this environment registers
+    the TPU plugin into every interpreter."""
+    kept = []
+    for entry in pythonpath.split(os.pathsep):
+        if not entry:
+            continue
+        if any(os.path.exists(os.path.join(entry, f))
+               for f in ("sitecustomize.py", "usercustomize.py")):
+            continue
+        kept.append(entry)
+    return os.pathsep.join(kept)
+
+
+#: env vars that select/configure an accelerator backend or plugin; all are
+#: removed from the child so the CPU platform is the only one discoverable.
+_SCRUB_PREFIXES = ("JAX_", "TPU_", "LIBTPU", "PALLAS_", "AXON_",
+                   "PJRT_", "XLA_")
+
+
+def scrubbed_env(n_devices: int) -> dict:
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(_SCRUB_PREFIXES)}
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (REPO_ROOT,
+                    _strip_customize_entries(os.environ.get("PYTHONPATH", "")))
+        if p)
+    env["JAX_PLATFORMS"] = "cpu"
+    # codegen quality is irrelevant for ONE tiny-shape step; -O0 compiles
+    # the full SPMD program ~2x faster on this 1-vCPU host
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_devices}"
+                        " --xla_backend_optimization_level=0")
+    env["JAX_COMPILATION_CACHE_DIR"] = CPU_CACHE_DIR
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
+    return env
+
+
+def run_subprocess(n_devices: int, timeout: float = 3000.0) -> None:
+    """Re-exec the mesh step in a scrubbed child; stream its output and
+    raise if it fails."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "saunet_tpu.parallel.dryrun", str(n_devices)],
+        cwd=REPO_ROOT, env=scrubbed_env(n_devices),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    tail: list[str] = []
+    assert proc.stdout is not None
+    try:
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            tail.append(line)
+            del tail[:-40]
+        rc = proc.wait(timeout=timeout)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    if rc != 0:
+        raise RuntimeError(
+            f"dryrun_multichip subprocess exited rc={rc}; tail:\n"
+            + "".join(tail[-40:]))
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    n = int(argv[0]) if argv else 8
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", CPU_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    run_mesh_step(n)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Subprocess-isolated multichip dryrun (VERDICT r2 next #1).
+
+The driver validates multi-chip sharding by calling
+``__graft_entry__.dryrun_multichip(n)`` from a process whose interpreter
+already initialized a TPU PJRT backend; in-process platform switching failed
+in that context two rounds running. The fix is architectural: re-exec the
+mesh step in a scrubbed child (saunet_tpu/parallel/dryrun.py). These tests
+run that subprocess variant from a parent that has ALREADY initialized a
+backend (the suite's conftest boots the 8-device CPU platform at import),
+which is exactly the driver's failure mode.
+
+Reference stack this gate is the driver-side proof for:
+/root/reference/lib/nn/modules/batchnorm.py:98-117,
+/root/reference/lib/nn/parallel/data_parallel.py:53-96.
+"""
+import os
+import sys
+
+import jax
+import pytest
+
+from saunet_tpu.parallel import dryrun
+
+SLOW = os.environ.get("SKIP_SLOW_TESTS", "") == "1"
+
+
+def test_scrubbed_env_removes_backend_knobs(monkeypatch):
+    """Every accelerator-selecting env var must be gone from the child env,
+    and PYTHONPATH entries that ship a sitecustomize must be dropped —
+    those are the two vectors by which this environment pins a TPU plugin
+    into fresh interpreters."""
+    monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+    monkeypatch.setenv("TPU_LIBRARY_PATH", "/opt/libtpu.so")
+    monkeypatch.setenv("XLA_FLAGS", "--xla_tpu_something=1")
+    monkeypatch.setenv("PJRT_DEVICE", "TPU")
+    env = dryrun.scrubbed_env(8)
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "TPU_LIBRARY_PATH" not in env
+    assert "PJRT_DEVICE" not in env
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert "xla_tpu_something" not in env["XLA_FLAGS"]
+    # no sitecustomize/usercustomize reachable from the child's PYTHONPATH
+    for entry in env.get("PYTHONPATH", "").split(os.pathsep):
+        if not entry:
+            continue
+        assert not os.path.exists(os.path.join(entry, "sitecustomize.py")), \
+            entry
+        assert not os.path.exists(os.path.join(entry, "usercustomize.py")), \
+            entry
+
+
+def test_scrubbed_child_sees_cpu_platform_only():
+    """A child launched with the scrubbed env must come up as a pure
+    n-device CPU platform even though THIS process has a live backend."""
+    assert jax.devices()  # parent backend is initialized (conftest)
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; d = jax.devices(); "
+         "print(d[0].platform, len(d))"],
+        env=dryrun.scrubbed_env(4), cwd=dryrun.REPO_ROOT,
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.split() == ["cpu", "4"], out.stdout
+
+
+@pytest.mark.skipif(SLOW, reason="SKIP_SLOW_TESTS=1")
+def test_run_subprocess_from_initialized_parent():
+    """The driver-shaped scenario end-to-end: parent has a live backend,
+    run_subprocess(8) must still jit + execute the full ('data','space')
+    SPMD train step in the child and exit 0. Near-instant when
+    .jax_cache_cpu is warm; ~10 min cold on one vCPU."""
+    assert jax.devices()  # parent backend is initialized
+    dryrun.run_subprocess(8)  # raises on failure
+
+
+def test_run_subprocess_propagates_failure(monkeypatch):
+    """rc != 0 in the child must surface as an exception with the tail —
+    a gate that cannot fail is not a gate."""
+    real_env = dryrun.scrubbed_env(8)
+    real_env["SAUNET_DRYRUN_BOOM"] = "1"
+    monkeypatch.setattr(dryrun, "scrubbed_env", lambda n: real_env)
+    monkeypatch.setattr(
+        sys, "executable", sys.executable, raising=True)
+    import subprocess as sp
+    orig_popen = sp.Popen
+
+    def fake_popen(cmd, **kw):
+        return orig_popen(
+            [sys.executable, "-c",
+             "import sys; print('child exploding'); sys.exit(3)"],
+            **kw)
+
+    monkeypatch.setattr(sp, "Popen", fake_popen)
+    with pytest.raises(RuntimeError, match="rc=3"):
+        dryrun.run_subprocess(8)
