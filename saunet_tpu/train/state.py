@@ -223,39 +223,69 @@ def _fused_forward_sharded(model, state, images, mesh, axis: str = "data",
 def make_eval_step(model, num_class: int = 4,
                    class_weights=DEFAULT_CLASS_WEIGHTS,
                    fused_encoder="auto", mesh=None,
-                   interpret: bool = False):
-    """Jitted eval step: softmax probs + loss + in-graph IoU ingredients.
+                   interpret: bool = False,
+                   with_probs: bool = False):
+    """Jitted eval step: (probs, preds, metrics) with loss + in-graph IoU
+    ingredients.
 
     Replaces the reference's per-sample python eval loop
     (/root/reference/train.py:25-64) — slices are batched and metrics are
     computed on-device. Pass `mesh` to run the fused Pallas encoder
     per-shard on a multi-device 'data' mesh (loss/metrics stay on global
     arrays under jit auto-sharding).
+
+    For `stream_impl='packed'` models the whole eval program stays in the
+    lane-packed layout (train_outputs + dual_loss_packed + packed_argmax):
+    the (N, H, W, C) logits — which HBM pads to 128 lanes, 32x their
+    nominal size at C=4 — never exist, mirroring the train step.
+
+    `with_probs=False` (default) returns None in the probs slot: the dense
+    softmax output alone is a 128-lane-padded full-res tensor (~1.6 GB of
+    HBM writes at 224² b64) and no driver consumes it. Set True for the
+    reference's test-branch softmax contract
+    (/root/reference/models/models.py:96-102).
     """
     fused = _use_fused_encoder(model, fused_encoder, mesh)
+    packed = (not fused
+              and getattr(model, "stream_impl", "xla") == "packed")
 
     def step_fn(state: TrainState, batch: dict):
-        if fused and mesh is not None:
-            seg, edge = _fused_forward_sharded(model, state,
-                                               batch["image"], mesh,
-                                               interpret=interpret)
-        elif fused:
-            seg, edge = _fused_forward(model, state, batch["image"],
-                                       interpret=interpret)
-        else:
-            seg, edge = model.apply(
-                {"params": state.params,
-                 "batch_stats": state.batch_stats},
-                batch["image"], train=False,
-            )
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
         # optional (N,) validity mask: the driver pads the last val batch by
         # repeating a slice; masked reductions keep the reported loss equal
         # to the loss over the real samples only
-        total, parts = dual_loss(seg, edge, batch["label"], batch["edge"],
-                                 class_weights,
-                                 sample_mask=batch.get("valid"))
-        probs = jax.nn.softmax(seg, axis=-1)
-        preds = jnp.argmax(seg, axis=-1)
+        mask = batch.get("valid")
+        probs = None
+        if packed:
+            from ..ops.packed import packed_argmax, unpack
+            seg_p, edge_p = model.apply(variables, batch["image"], False,
+                                        method="train_outputs")
+            total, parts = dual_loss_packed(
+                seg_p, edge_p, batch["label"], batch["edge"],
+                num_classes=num_class, class_weights=class_weights,
+                sample_mask=mask)
+            preds = packed_argmax(seg_p, num_class)
+            if with_probs:  # unpack once, at the very end
+                probs = jax.nn.softmax(
+                    unpack(seg_p, num_class).astype(jnp.float32), axis=-1)
+        else:
+            if fused and mesh is not None:
+                seg, edge = _fused_forward_sharded(model, state,
+                                                   batch["image"], mesh,
+                                                   interpret=interpret)
+            elif fused:
+                seg, edge = _fused_forward(model, state, batch["image"],
+                                           interpret=interpret)
+            else:
+                seg, edge = model.apply(variables, batch["image"],
+                                        train=False)
+            total, parts = dual_loss(seg, edge, batch["label"],
+                                     batch["edge"], class_weights,
+                                     sample_mask=mask)
+            preds = jnp.argmax(seg, axis=-1)
+            if with_probs:
+                probs = jax.nn.softmax(seg, axis=-1)
         acc, jaccard = pixel_acc(preds, batch["label"], num_class)
         metrics = dict(parts)
         metrics["acc"] = acc
@@ -266,26 +296,51 @@ def make_eval_step(model, num_class: int = 4,
 
 
 def make_infer_step(model, fused_encoder="auto", mesh=None,
-                    interpret: bool = False):
-    """Jitted inference: (probs, preds) from images only — the
+                    interpret: bool = False,
+                    with_probs: bool = False, with_edge: bool = False):
+    """Jitted inference: (probs, preds, edge) from images only — the
     test_and_pack forward path, batched over z-slices. Pass `mesh` to run
-    the fused Pallas encoder per-shard over the 'data' axis."""
+    the fused Pallas encoder per-shard over the 'data' axis.
+
+    Packed-stream models run entirely in the lane-packed layout (see
+    make_eval_step). `with_probs`/`with_edge` default False — each gated
+    output is a 128-lane-padded full-res tensor that no driver consumes
+    (test_and_pack exports argmax predictions only,
+    /root/reference/test_and_pack.py:122-124); None is returned in its
+    slot."""
     fused = _use_fused_encoder(model, fused_encoder, mesh)
+    packed = (not fused
+              and getattr(model, "stream_impl", "xla") == "packed")
+    num_class = getattr(model, "num_classes", 4)
 
     def step_fn(state: TrainState, images):
-        if fused and mesh is not None:
-            seg, edge = _fused_forward_sharded(model, state, images, mesh,
-                                               interpret=interpret)
-        elif fused:
-            seg, edge = _fused_forward(model, state, images,
-                                       interpret=interpret)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        probs = edge = None
+        if packed:
+            from ..ops.packed import packed_argmax, unpack
+            seg_p, edge_p = model.apply(variables, images, False,
+                                        method="train_outputs")
+            preds = packed_argmax(seg_p, num_class)
+            if with_probs:
+                probs = jax.nn.softmax(
+                    unpack(seg_p, num_class).astype(jnp.float32), axis=-1)
+            if with_edge:
+                edge = unpack(edge_p, 1)
         else:
-            seg, edge = model.apply(
-                {"params": state.params,
-                 "batch_stats": state.batch_stats},
-                images, train=False,
-            )
-        probs = jax.nn.softmax(seg, axis=-1)
-        return probs, jnp.argmax(seg, axis=-1), edge
+            if fused and mesh is not None:
+                seg, edge_full = _fused_forward_sharded(
+                    model, state, images, mesh, interpret=interpret)
+            elif fused:
+                seg, edge_full = _fused_forward(model, state, images,
+                                                interpret=interpret)
+            else:
+                seg, edge_full = model.apply(variables, images, train=False)
+            preds = jnp.argmax(seg, axis=-1)
+            if with_probs:
+                probs = jax.nn.softmax(seg, axis=-1)
+            if with_edge:
+                edge = edge_full
+        return probs, preds, edge
 
     return jax.jit(step_fn)

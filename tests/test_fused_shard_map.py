@@ -97,7 +97,8 @@ def test_infer_step_dispatches_sharded(setup):
     mesh = make_mesh(jax.devices(), data=8, space=1)
     # CPU backend still gates 'auto' off; forcing works through infer
     infer = make_infer_step(model, fused_encoder=True, mesh=mesh,
-                            interpret=True)
+                            interpret=True, with_probs=True,
+                            with_edge=True)
     probs, preds, edge = infer(state, images)
     assert probs.shape == (8, 32, 32, 4)
     assert preds.shape == (8, 32, 32)
