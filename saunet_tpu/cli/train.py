@@ -84,10 +84,12 @@ def parse_args(argv=None):
                         "picks packed whenever the crop width packs well")
     p.add_argument("--encoder_concat", default="auto",
                    choices=["auto", "chain", "buffer", "fused"],
-                   help="dense-block concat storage: 'fused' is the "
-                        "residual-lean custom-VJP block (least HBM "
-                        "traffic, see ops/dense_block_train.py); 'auto' "
-                        "picks fused for training")
+                   help="dense-block concat storage: 'auto' currently "
+                        "selects 'chain' (XLA's concat fusion is near the "
+                        "HBM roofline; fused measured 2.6x slower fwd+bwd, "
+                        "see docs/KERNELS.md §6); 'fused' (residual-lean "
+                        "custom-VJP block, ops/dense_block_train.py) and "
+                        "'buffer' remain available as overrides")
     p.add_argument("--no_deform", action="store_true",
                    help="disable elastic deformation")
     p.add_argument("--slice_cache", default="",

@@ -12,7 +12,11 @@ impossible (XLA fuses across segment boundaries), but the deltas are the
 decision-grade signal.
 
 Env: PROF_BATCH (64), PROF_HW (224), PROF_STEPS (10), PROF_CONCAT
-(chain|buffer), PROF_REMAT=1, PROF_STREAM (xla|packed).
+(chain|buffer), PROF_REMAT=1, PROF_STREAM (xla|packed), PROF_DECODER=1
+(per-decoder-stage attribution: cumulative grads through center, dec5..dec2,
+and the full-res tail, so the decoder trunk — half of SAUNet.forward,
+/root/reference/models/models.py:371-384 — gets the same decision-grade
+breakdown the round-2 work gave the encoder and shape stream).
 """
 from __future__ import annotations
 
@@ -36,6 +40,7 @@ STEPS = int(os.environ.get("PROF_STEPS", "10"))
 CONCAT = os.environ.get("PROF_CONCAT", "chain")
 REMAT = os.environ.get("PROF_REMAT", "0") == "1"
 STREAM = os.environ.get("PROF_STREAM", "xla")
+DECODER = os.environ.get("PROF_DECODER", "0") == "1"
 
 
 def _sync(out):
@@ -148,6 +153,63 @@ def main():
           f"shape stream +{(t_ss - t_enc) * 1e3:.1f} ms, "
           f"decoder/edge/loss +{(t_full - t_ss) * 1e3:.1f} ms, "
           f"optimizer +{(t_step - t_full) * 1e3:.1f} ms")
+
+    if not DECODER:
+        return
+
+    # --- per-decoder-stage attribution (cumulative grads) ----------------
+    from saunet_tpu.models.blocks import max_pool_2x2
+    from saunet_tpu.ops.resize import resize_bilinear
+
+    def make_dec_loss(n_stages):
+        """enc + stream + skip resizes + center + the first n_stages
+        DualAttBlocks (0..4; 4 = through dec2)."""
+        def run(m, xx, t):
+            taps = m.encoder(xx, t)[1:]
+            if STREAM == "packed":
+                edge_out, _ = m._shape_stream_packed_core(taps, xx, t)
+            else:
+                edge_out, _ = m.shape_stream(taps, xx, t)
+            conv2, conv3, conv4, conv5 = taps
+            ups = [resize_bilinear(c, (c.shape[1] * 2, c.shape[2] * 2))
+                   for c in (conv2, conv3, conv4)]
+            conv2u, conv3u, conv4u = ups
+            d = m.center(max_pool_2x2(conv5), t)
+            outs = [edge_out, conv2u, conv3u, conv4u, d]
+            seq = [(m.dec5, conv5), (m.dec4, conv4u),
+                   (m.dec3, conv3u), (m.dec2, conv2u)]
+            for blk, skip in seq[:n_stages]:
+                d, _ = blk([d, skip], t)
+            outs.append(d)
+            return outs
+
+        def loss(params, stats, images):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": stats}, images, True,
+                mutable=["batch_stats"], method=run)
+            l = sum(jnp.mean(o.astype(jnp.float32))
+                    for o in jax.tree.leaves(outs))
+            return l, mut["batch_stats"]
+
+        @jax.jit
+        def g(params, stats, images):
+            (l, _), grads = jax.value_and_grad(loss, has_aux=True)(
+                params, stats, images)
+            return l, grads
+
+        return g
+
+    names = ["resizes+center", "dec5", "dec4", "dec3", "dec2"]
+    prev = t_ss
+    print("\ndecoder-stage deltas (cumulative fwd+bwd, on top of "
+          "enc+stream):")
+    for i, name in enumerate(names):
+        t = timeit(f"grad: ..+{name}", make_dec_loss(i), p, s,
+                   batch["image"])
+        print(f"    {name:<16s} +{(t - prev) * 1e3:7.2f} ms")
+        prev = t
+    print(f"    {'tail(edge fusion+dec1/0+head+loss)':<16s} "
+          f"+{(t_full - prev) * 1e3:7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -149,9 +149,60 @@ class ResBlk(nn.Module):
         return F.relu(x + self.b2(self.c2(h)))
 
 
+def _canny_torch(gray, low=10.0, high=100.0, iters=8):
+    """Torch mirror of saunet_tpu.ops.edge.canny_edges (Sobel -> L1 mag ->
+    direction-quantised NMS -> double threshold -> unrolled hysteresis),
+    used by the deterministic fidelity gate so both frameworks compute the
+    SAME edge cue from the same input. NHW1-equivalent on NCHW (N,1,H,W)."""
+    kx = torch.tensor([[[[-1., 0, 1], [-2., 0, 2], [-1., 0, 1]]]],
+                      dtype=gray.dtype)
+    ky = kx.transpose(2, 3)
+    gx = F.conv2d(gray, kx, padding=1)
+    gy = F.conv2d(gray, ky, padding=1)
+    mag = gx.abs() + gy.abs()
+
+    def shift(x, dy, dx):
+        return F.pad(x, (max(dx, 0), max(-dx, 0),
+                         max(dy, 0), max(-dy, 0)))[
+            :, :,
+            max(-dy, 0):x.shape[2] + max(-dy, 0),
+            max(-dx, 0):x.shape[3] + max(-dx, 0)]
+
+    ax, ay = gx.abs(), gy.abs()
+    tan225, tan675 = 0.4142135623730951, 2.414213562373095
+    horiz = ay <= tan225 * ax
+    vert = ay >= tan675 * ax
+    same_sign = (gx * gy) >= 0
+    keep_h = (mag >= shift(mag, 0, -1)) & (mag >= shift(mag, 0, 1))
+    keep_v = (mag >= shift(mag, -1, 0)) & (mag >= shift(mag, 1, 0))
+    keep_d1 = (mag >= shift(mag, -1, -1)) & (mag >= shift(mag, 1, 1))
+    keep_d2 = (mag >= shift(mag, -1, 1)) & (mag >= shift(mag, 1, -1))
+    keep = torch.where(horiz, keep_h,
+                       torch.where(vert, keep_v,
+                                   torch.where(same_sign, keep_d1, keep_d2)))
+    nms = torch.where(keep, mag, torch.zeros_like(mag))
+    strong = (nms > high).float()
+    weak = (nms > low).float()
+    edges = strong
+    for _ in range(iters):
+        grown = F.max_pool2d(edges, 3, stride=1, padding=1)
+        edges = torch.maximum(edges, grown * weak)
+    return edges * 255.0
+
+
+def _gray255_torch(x):
+    """Torch mirror of ops.edge.image_to_gray255: per-sample rescale of the
+    channel mean to [0, 255]."""
+    g = x.mean(1, keepdim=True)
+    lo = g.amin((1, 2, 3), keepdim=True)
+    hi = g.amax((1, 2, 3), keepdim=True)
+    return (g - lo) / (hi - lo + 1e-8) * 255.0
+
+
 class TorchSAUNet(nn.Module):
-    def __init__(self, num_classes=4, nf=32):
+    def __init__(self, num_classes=4, nf=32, edge_cue="sobel"):
         super().__init__()
+        self.edge_cue = edge_cue
         self.enc = Encoder()
         up = lambda t, s: F.interpolate(t, size=s, mode="bilinear",
                                         align_corners=True)
@@ -189,12 +240,17 @@ class TorchSAUNet(nn.Module):
         ss = self.g3(self.d3(self.res3(ss)), up(self.c5(f5), s))
         edge_out = torch.sigmoid(self.fuse(ss))
 
-        # stand-in edge cue (the CPU-Canny of the reference): sobel magnitude
-        gray = x.mean(1, keepdim=True)
-        kx = torch.tensor([[[[-1., 0, 1], [-2., 0, 2], [-1., 0, 1]]]])
-        gx = F.conv2d(gray, kx, padding=1)
-        gy = F.conv2d(gray, kx.transpose(2, 3), padding=1)
-        canny = (gx.abs() + gy.abs()).detach()
+        if self.edge_cue == "canny":
+            # exact mirror of the framework's on-device edge operator
+            # (ops/edge.py) — the deterministic fidelity configuration
+            canny = _canny_torch(_gray255_torch(x)).detach()
+        else:
+            # stand-in cue (the CPU-Canny of the reference): sobel magnitude
+            gray = x.mean(1, keepdim=True)
+            kx = torch.tensor([[[[-1., 0, 1], [-2., 0, 2], [-1., 0, 1]]]])
+            gx = F.conv2d(gray, kx, padding=1)
+            gy = F.conv2d(gray, kx.transpose(2, 3), padding=1)
+            canny = (gx.abs() + gy.abs()).detach()
 
         acts = torch.sigmoid(self.cw(torch.cat([edge_out, canny], 1)))
         edge = self.expand(acts)
