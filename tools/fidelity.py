@@ -160,6 +160,128 @@ def run_torch(imgs, labs, edges, val_imgs, val_labs, steps, batch, lr,
     return hist
 
 
+def _radam_step_torch(model, grads_of, mu, nu, t, lr,
+                      b1=0.9, b2=0.999, eps=1e-8):
+    """Manual torch RAdam update matching saunet_tpu.train.optim.
+    scale_by_radam (the reference's radam.py:15-78 semantics) exactly, so
+    the deterministic gate isolates forward/backward math — torch.optim's
+    RAdam differs from the reference in its rectification threshold."""
+    import math
+
+    import torch
+
+    beta2_t = b2 ** t
+    n_sma_max = 2.0 / (1.0 - b2) - 1.0
+    n_sma = n_sma_max - 2.0 * t * beta2_t / (1.0 - beta2_t)
+    bias1 = 1.0 - b1 ** t
+    if n_sma >= 5.0:
+        rect = math.sqrt(
+            (1.0 - beta2_t) * (n_sma - 4.0) / (n_sma_max - 4.0)
+            * (n_sma - 2.0) / n_sma * n_sma_max / (n_sma_max - 2.0))
+        ss = rect / bias1
+    else:
+        ss = None  # momentum-SGD fallback with 1/bias1
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            g = grads_of(name, p)
+            if g is None:
+                continue
+            m = mu.setdefault(name, torch.zeros_like(p, dtype=torch.float32))
+            v = nu.setdefault(name, torch.zeros_like(p, dtype=torch.float32))
+            m.mul_(b1).add_(g, alpha=1 - b1)
+            v.mul_(b2).addcmul_(g, g, value=1 - b2)
+            if ss is not None:
+                p.add_(-lr * ss * m / (v.sqrt() + eps))
+            else:
+                p.add_(-lr / bias1 * m)
+
+
+def run_deterministic(steps=50, batch=4, hw=64, n_train=16, lr=1e-3,
+                      seed=0, verbose=True):
+    """The deterministic fidelity gate: ONE init (the torch model's),
+    ported weight-for-weight onto the flax SAUNet
+    (saunet_tpu.models.torch_port), identical batch order, the same
+    on-device edge cue (the torch mirror of ops/edge.py), the same
+    reference-semantics RAdam — per-step loss trajectories must agree
+    within floating-point tolerance. This replaces the ±0.15-IoU
+    statistical band as the primary accuracy instrument (the band remains
+    as the long-run check; VERDICT r2 next-#5)."""
+    import torch
+    import torch.nn.functional as F
+    from torch_baseline import TorchSAUNet
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from saunet_tpu.data.phantom import make_phantom_set
+    from saunet_tpu.models import SAUNet
+    from saunet_tpu.models.torch_port import port_torch_saunet_state_dict
+    from saunet_tpu.train import make_train_step, radam
+    from saunet_tpu.train.state import TrainState
+
+    imgs, labs = make_phantom_set(n_train, hw=hw, seed=seed)
+    edges = _edge_targets(labs)
+    schedule = _batches(n_train, batch, steps, seed=123)
+
+    torch.manual_seed(seed)
+    tmodel = TorchSAUNet(edge_cue="canny")
+    tmodel.train()
+    variables = port_torch_saunet_state_dict(tmodel.state_dict())
+
+    # --- jax side --------------------------------------------------------
+    model = SAUNet(num_classes=4, edge_kernel="xla")
+    tx = radam(lr)
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=jax.tree.map(jnp.asarray, variables["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, variables["batch_stats"]),
+        opt_state=tx.init(jax.tree.map(jnp.asarray, variables["params"])))
+    step = make_train_step(model, tx, donate=False)
+    img3 = np.repeat(imgs[..., None], 3, axis=-1)
+    jax_losses = []
+    rng = jax.random.PRNGKey(1)
+    for sel in schedule:
+        b = {"image": jnp.asarray(img3[sel]),
+             "label": jnp.asarray(labs[sel]),
+             "edge": jnp.asarray(edges[sel])}
+        state, metrics = step(state, b, rng)
+        jax_losses.append(float(metrics["loss"]))
+
+    # --- torch side ------------------------------------------------------
+    ce = torch.nn.CrossEntropyLoss(weight=torch.tensor([1.0, 4.0, 5.0, 1.0]))
+    img3t = np.repeat(imgs[:, None], 3, axis=1)
+    mu, nu = {}, {}
+    torch_losses = []
+    for t_i, sel in enumerate(schedule, 1):
+        x = torch.from_numpy(img3t[sel])
+        y = torch.from_numpy(labs[sel].astype(np.int64))
+        e = torch.from_numpy(edges[sel].transpose(0, 3, 1, 2))
+        tmodel.zero_grad(set_to_none=True)
+        seg, edge = tmodel(x)
+        probs = F.softmax(seg, 1)
+        one_hot = F.one_hot(y, 4).permute(0, 3, 1, 2).float()
+        inter = (probs * one_hot).sum((0, 2, 3))
+        card = (probs + one_hot).sum((0, 2, 3))
+        dice = 1 - (2 * inter / (card + 1e-7)).mean()
+        bce = torch.nn.functional.binary_cross_entropy(
+            edge.clamp(1e-7, 1 - 1e-7), e)
+        loss = ce(seg, y) + dice + bce
+        loss.backward()
+        _radam_step_torch(tmodel, lambda n, p: p.grad, mu, nu, t_i, lr)
+        torch_losses.append(float(loss))
+        if verbose and t_i % 10 == 0:
+            print(f"step {t_i}: jax {jax_losses[t_i - 1]:.6f} "
+                  f"torch {torch_losses[t_i - 1]:.6f}")
+
+    diffs = [abs(a - b) / max(abs(b), 1e-8)
+             for a, b in zip(jax_losses, torch_losses)]
+    return {"config": {"steps": steps, "batch": batch, "hw": hw,
+                       "n_train": n_train, "lr": lr},
+            "jax_loss": jax_losses, "torch_loss": torch_losses,
+            "max_rel_diff": max(diffs),
+            "final_rel_diff": diffs[-1]}
+
+
 def run(steps=300, batch=8, hw=64, n_train=64, n_val=16, lr=1e-3,
         eval_every=30, verbose=True):
     from saunet_tpu.data.phantom import make_phantom_set
@@ -190,19 +312,57 @@ def run(steps=300, batch=8, hw=64, n_train=64, n_val=16, lr=1e-3,
                        "torch": round(t_torch, 1)}}
 
 
-def write_report(result, out_md, out_json, plot_path=None):
+def write_report(result, out_md, out_json, plot_path=None, det=None):
+    if det is not None:
+        result = dict(result, deterministic=det)
     with open(out_json, "w") as f:
         json.dump(result, f, indent=2)
     jx, th = result["jax"], result["torch"]
     lines = [
         "# FIDELITY — convergence equivalence vs torch baseline",
         "",
+    ]
+    if det is not None:
+        d = det
+        lines += [
+            "## 1. Deterministic trajectory gate (ported init)",
+            "",
+            "The torch baseline's full parameter set is ported",
+            "weight-for-weight onto the flax SAUNet",
+            "(`saunet_tpu/models/torch_port.py`); both frameworks then train",
+            "from the IDENTICAL init on identical batches with the same",
+            "edge cue (the torch mirror of `ops/edge.py`) and the same",
+            "reference-semantics RAdam. Per-step losses must agree within",
+            "floating-point tolerance — the deterministic replacement for",
+            "the old ±0.15-IoU band (VERDICT r2 #5).",
+            "",
+            f"Config: {json.dumps(d['config'])}",
+            "",
+            f"**max per-step relative loss diff over {d['config']['steps']}"
+            f" steps: {d['max_rel_diff']:.4%}** "
+            f"(final step: {d['final_rel_diff']:.4%})",
+            "",
+            "| step | jax loss | torch loss | rel diff |",
+            "|---|---|---|---|",
+        ]
+        n = len(d["jax_loss"])
+        for i in range(0, n, max(1, n // 10)):
+            a, b = d["jax_loss"][i], d["torch_loss"][i]
+            lines.append(f"| {i + 1} | {a:.6f} | {b:.6f} "
+                         f"| {abs(a - b) / abs(b):.5f} |")
+        a, b = d["jax_loss"][-1], d["torch_loss"][-1]
+        lines.append(f"| {n} | {a:.6f} | {b:.6f} "
+                     f"| {abs(a - b) / abs(b):.5f} |")
+        lines += ["", "## 2. Statistical long-run check (independent inits)",
+                  ""]
+    lines += [
         "Both frameworks train the SAUNet architecture on identical",
         "synthetic blob phantoms (`saunet_tpu/data/phantom.py`) with the",
         "same dual loss, RAdam optimizer, LR and batch order",
         "(`tools/fidelity.py`). The torch net is the independent rewrite in",
-        "`tools/torch_baseline.py`; inits differ, so the gate is",
-        "statistical: both must converge and final val IoU must agree.",
+        "`tools/torch_baseline.py`; inits differ in this long-run check, so",
+        "the assertion is statistical: both must converge and final val IoU",
+        "must agree.",
         "",
         f"Config: {json.dumps(result['config'])}",
         "",
@@ -249,14 +409,27 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--hw", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--det-steps", type=int, default=50,
+                    help="deterministic ported-init trajectory length "
+                         "(0 disables)")
+    ap.add_argument("--det-json", default=None,
+                    help="reuse a saved run_deterministic JSON instead of "
+                         "re-running")
     args = ap.parse_args()
+    det = None
+    if args.det_json:
+        with open(args.det_json) as f:
+            det = json.load(f)
+    elif args.det_steps:
+        det = run_deterministic(steps=args.det_steps)
     result = run(steps=args.steps, batch=args.batch, hw=args.hw,
                  lr=args.lr)
     docs = os.path.join(REPO, "docs")
     os.makedirs(docs, exist_ok=True)
     write_report(result, os.path.join(docs, "FIDELITY.md"),
                  os.path.join(docs, "fidelity.json"),
-                 plot_path=os.path.join(docs, "fidelity_curves.png"))
+                 plot_path=os.path.join(docs, "fidelity_curves.png"),
+                 det=det)
     print("wrote docs/FIDELITY.md")
 
 

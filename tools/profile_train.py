@@ -112,10 +112,22 @@ def main():
         return loss, mut["batch_stats"]
 
     def full_loss(params, stats, b):
-        (seg, edge), mut = model.apply(
-            {"params": params, "batch_stats": stats}, b["image"], True,
-            mutable=["batch_stats"])
-        total, _ = dual_loss(seg, edge, b["label"], b["edge"])
+        # the REAL train-step objective: packed models keep (seg, edge)
+        # lane-packed through the loss (train_outputs + dual_loss_packed),
+        # exactly like make_train_step — measuring the dense __call__ here
+        # would charge the tail for a 32x-lane-padded logits tensor the
+        # train program never materialises.
+        if STREAM == "packed":
+            from saunet_tpu.train.losses import dual_loss_packed
+            (seg, edge), mut = model.apply(
+                {"params": params, "batch_stats": stats}, b["image"], True,
+                mutable=["batch_stats"], method="train_outputs")
+            total, _ = dual_loss_packed(seg, edge, b["label"], b["edge"])
+        else:
+            (seg, edge), mut = model.apply(
+                {"params": params, "batch_stats": stats}, b["image"], True,
+                mutable=["batch_stats"])
+            total, _ = dual_loss(seg, edge, b["label"], b["edge"])
         return total, mut["batch_stats"]
 
     @jax.jit
@@ -210,6 +222,83 @@ def main():
         prev = t
     print(f"    {'tail(edge fusion+dec1/0+head+loss)':<16s} "
           f"+{(t_full - prev) * 1e3:7.2f} ms")
+
+    if STREAM != "packed" or os.environ.get("PROF_TAIL", "0") != "1":
+        return
+
+    # --- packed full-res tail sub-stages (PROF_TAIL=1) --------------------
+    from flax import linen as fnn
+    from saunet_tpu.models.packed_stream import stream_packs
+    from saunet_tpu.ops.edge import image_to_gray255
+    from saunet_tpu.ops.packed import pack
+
+    def make_tail_loss(stage):
+        """Cumulative grads through the packed tail: 1=+canny/edge-fusion,
+        2=+dec1, 3=+dec0, 4=+head — mirrors SAUNet._decode_packed."""
+        def run(m, xx, t):
+            taps = m.encoder(xx, t)[1:]
+            edge_p, _ = m._shape_stream_packed_core(taps, xx, t)
+            w = xx.shape[2]
+            pk = stream_packs(w)
+            p1, p32 = pk[1], pk[32]
+            nf, dt = m.num_filters, m.dtype
+            conv2, conv3, conv4, conv5 = taps
+            ups = [resize_bilinear(c, (c.shape[1] * 2, c.shape[2] * 2))
+                   for c in (conv2, conv3, conv4)]
+            d = m.center(max_pool_2x2(conv5), t)
+            for blk, skip in [(m.dec5, conv5), (m.dec4, ups[2]),
+                              (m.dec3, ups[1]), (m.dec2, ups[0])]:
+                d, _ = blk([d, skip], t)
+            outs = [edge_p, d]
+            if stage >= 1:
+                gray = image_to_gray255(xx)
+                canny_p = pack(
+                    jax.lax.stop_gradient(m._canny(gray)).astype(dt), p1)
+                kcw, _ = m.cw()
+                kcw = kcw.astype(dt)
+                acts = fnn.sigmoid(edge_p.astype(dt) * kcw[0, 0]
+                                   + canny_p * kcw[1, 0])
+                edge = m.expand(acts, p1, p32, t)
+                outs.append(edge)
+            if stage >= 2:
+                dec1 = m.dec1(pack(d, p32 // 2), p32 // 2, t)
+                outs.append(dec1)
+            if stage >= 3:
+                dec0 = m.dec0([(dec1, nf), (edge, nf)], p32, p32, t)
+                outs.append(dec0)
+            if stage >= 4:
+                pseg, mult = p32, p32
+                while (mult + p32) * m.num_classes <= 128:
+                    mult += p32
+                    if w % mult == 0:
+                        pseg = mult
+                outs.append(m.final(dec0, p32, pseg))
+            return outs
+
+        def loss(params, stats, images):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": stats}, images, True,
+                mutable=["batch_stats"], method=run)
+            l = sum(jnp.mean(o.astype(jnp.float32))
+                    for o in jax.tree.leaves(outs))
+            return l, mut["batch_stats"]
+
+        @jax.jit
+        def g(params, stats, images):
+            (l, _), grads = jax.value_and_grad(loss, has_aux=True)(
+                params, stats, images)
+            return l, grads
+
+        return g
+
+    tail_names = ["canny+edge fusion", "dec1", "dec0", "head"]
+    print("\npacked tail deltas (cumulative fwd+bwd, on top of ..+dec2):")
+    for i, name in enumerate(tail_names, 1):
+        t = timeit(f"grad: ..+{name}", make_tail_loss(i), p, s,
+                   batch["image"])
+        print(f"    {name:<18s} +{(t - prev) * 1e3:7.2f} ms")
+        prev = t
+    print(f"    {'packed dual loss':<18s} +{(t_full - prev) * 1e3:7.2f} ms")
 
 
 if __name__ == "__main__":
