@@ -29,7 +29,9 @@ from flax import linen as nn
 
 from ..ops.packed import (
     broadcast_1ch,
+    conv3x3_dense_to_packed,
     packed_bn_stats,
+    packed_channel_mean,
     packed_conv1x1,
     packed_conv3x3,
     packed_scale_bias,
@@ -293,6 +295,153 @@ class PDecoderBlock(nn.Module):
 
     def __call__(self, xp, p: int, train: bool = True):
         return self.up(self.conv(xp, p, p, train), p, train)
+
+
+def chained_pack(w: int, c: int, base: int) -> int:
+    """Largest multiple of `base` that divides `w` with c * pack <= 128.
+    Keeps every pack in a module's interior an integer multiple of its
+    input pack, so PConv1x1 repacks and broadcast_1ch stay exact."""
+    best = base
+    p = base
+    while True:
+        p += base
+        if p * c > 128:
+            break
+        if w % p == 0:
+            best = p
+    return best
+
+
+class PSEModule(nn.Module):
+    """Packed squeeze-and-excite; param-compatible with blocks.SEModule
+    (children fc1 / fc2). The squeeze is a strided-lane reduction on the
+    packed tensor; the tiny 1x1 excitation convs run on the (B, 1, 1, C)
+    squeezed vector exactly as in the dense module; the scale is applied
+    lane-tiled."""
+    channels: int
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, xp, p: int):
+        s = packed_channel_mean(xp, self.channels)  # (B, C) f32
+        s = s[:, None, None, :].astype(xp.dtype)
+        s = nn.Conv(self.channels // self.reduction, (1, 1),
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="fc1")(s)
+        s = self.act(s)
+        s = nn.Conv(self.channels, (1, 1), kernel_init=kaiming_normal_out,
+                    dtype=self.dtype, name="fc2")(s)
+        scale = nn.sigmoid(s)  # (B, 1, 1, C)
+        return xp * jnp.tile(scale.astype(xp.dtype), (1, 1, 1, p))
+
+
+class PSpatialAttentionBlock(nn.Module):
+    """Packed spatial attention; param-compatible with
+    blocks.SpatialAttentionBlock (children down / BatchNorm_0 / phi).
+    The C/4-channel projection and the 1-channel map — both heavily
+    lane-padded in the dense layout — stay packed throughout."""
+    attn_features: int
+    c_in: int
+    act: Callable = nn.relu
+
+    def setup(self):
+        self.down = PConv1x1(self.attn_features, self.c_in, use_bias=False,
+                             name="down")
+        self.bn = PBatchNorm(self.attn_features, name="BatchNorm_0")
+        self.phi = PConv1x1(1, self.attn_features, use_bias=True,
+                            name="phi")
+
+    def __call__(self, xp, p_in: int, p_mid: int, p_out: int,
+                 train: bool = True):
+        c = self.down(xp, p_in, p_mid)
+        c = self.bn([(c, self.attn_features, p_mid)], train)[0]
+        c = self.act(c)
+        c = self.phi(c, p_mid, p_out)
+        return nn.sigmoid(c)
+
+
+class PDualAttBlock(nn.Module):
+    """Packed decoder fusion block; param-compatible with
+    blocks.DualAttBlock (children mrf_up / c3x3 / BatchNorm_0 /
+    spatialAttn / channelAttn).
+
+    The coarse/skip inputs stay dense — their channel counts fill the
+    128 lanes — so the transposed-conv upsampler is the unchanged dense
+    module. Everything from the channel-narrowing 3x3 fusion conv onward
+    (outchannels <= 64 lanes, 2x padded dense; the attention interior's
+    C/4- and 1-channel maps, 8-128x padded dense) runs lane-packed:
+
+      * the fusion conv reads skip and up ONCE each and writes packed
+        output directly (conv3x3_dense_to_packed) — neither the channel
+        concat nor the lane-padded dense output ever reaches HBM;
+      * BN / ReLU / SE / spatial attention all operate on full-lane
+        packed tensors (same parameters, same math).
+
+    Reference: the decoder half of SAUNet.forward,
+    /root/reference/models/models.py:371-384 +
+    attention_blocks.py:175-238."""
+    outchannels: int
+    c_in: int
+    coarse_channels: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.relu
+
+    def setup(self):
+        from .blocks import ConvTransposeBNRelu
+        self.mrf_up = ConvTransposeBNRelu(self.coarse_channels,
+                                          dtype=self.dtype, act=self.act,
+                                          name="mrf_up")
+        self.c3x3 = _ParamConv3x3(self.outchannels, self.c_in,
+                                  name="c3x3")
+        self.bn = PBatchNorm(self.outchannels, name="BatchNorm_0")
+        self.spatialAttn = PSpatialAttentionBlock(
+            self.outchannels // 4, c_in=self.outchannels, act=self.act,
+            name="spatialAttn")
+        self.channelAttn = PSEModule(self.outchannels, 16,
+                                     dtype=self.dtype, act=self.act,
+                                     name="channelAttn")
+
+    def __call__(self, inputs: Sequence[jnp.ndarray], p: int,
+                 train: bool = True):
+        """inputs = [coarse, skip] dense (coarse at half the skip's
+        resolution) or a single pre-fused dense tensor. Returns
+        (out packed at `p`, spatial map packed at the cue pack)."""
+        if len(inputs) == 2:
+            coarse, skip = inputs
+            up = self.mrf_up(coarse, train)
+            parts = [(skip, skip.shape[-1]), (up, up.shape[-1])]
+        else:
+            parts = [(inputs[0], inputs[0].shape[-1])]
+        w = parts[0][0].shape[2]
+        kernel, bias = self.c3x3()
+        fused = conv3x3_dense_to_packed(parts, kernel.astype(self.dtype),
+                                        p, self.outchannels, bias=bias)
+        fused = self.bn([(fused, self.outchannels, p)], train)[0]
+        fused = self.act(fused)
+        p_mid = chained_pack(w, self.outchannels // 4, p)
+        p_cue = chained_pack(w, 1, p_mid)
+        spatial = self.spatialAttn(fused, p, p_mid, p_cue, train)
+        channel = self.channelAttn(fused, p)
+        out = channel * (broadcast_1ch(spatial, p_cue, self.outchannels, p)
+                         + 1.0)
+        return out, (spatial, p_cue)
+
+
+class _ParamConv3x3(nn.Module):
+    """Bare parameter holder with nn.Conv's (3, 3) param tree."""
+    features: int
+    c_in: int
+    kernel_init: Callable = kaiming_normal_out
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (3, 3, self.c_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
 
 
 class PGatedSpatialConv(nn.Module):

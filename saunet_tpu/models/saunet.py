@@ -109,13 +109,28 @@ class SAUNet(nn.Module):
             raise ValueError(f"stream_impl must be 'xla' or 'packed', "
                              f"got {self.stream_impl!r}")
 
-        # decoder trunk (dual attention) — dense in both impls
+        # decoder trunk (dual attention). Packed models run the
+        # param-compatible packed blocks: the concat and the lane-padded
+        # narrow outputs / attention interiors never reach HBM (dec5-dec3
+        # keep their lane-full main tensors dense via pack=1; dec2's
+        # 64-channel output is truly packed).
         self.center = ConvBNRelu(self.num_filters * 16, kernel=3, dtype=dt,
                                  act=act)
-        self.dec5 = DualAttBlock(512, dtype=dt, act=act)
-        self.dec4 = DualAttBlock(256, dtype=dt, act=act)
-        self.dec3 = DualAttBlock(128, dtype=dt, act=act)
-        self.dec2 = DualAttBlock(64, dtype=dt, act=act)
+        if self.stream_impl == "packed":
+            from .packed_stream import PDualAttBlock
+            self.dec5 = PDualAttBlock(512, c_in=1536, coarse_channels=512,
+                                      dtype=dt, act=act)
+            self.dec4 = PDualAttBlock(256, c_in=1024, coarse_channels=512,
+                                      dtype=dt, act=act)
+            self.dec3 = PDualAttBlock(128, c_in=512, coarse_channels=256,
+                                      dtype=dt, act=act)
+            self.dec2 = PDualAttBlock(64, c_in=256, coarse_channels=128,
+                                      dtype=dt, act=act)
+        else:
+            self.dec5 = DualAttBlock(512, dtype=dt, act=act)
+            self.dec4 = DualAttBlock(256, dtype=dt, act=act)
+            self.dec3 = DualAttBlock(128, dtype=dt, act=act)
+            self.dec2 = DualAttBlock(64, dtype=dt, act=act)
 
         # edge fusion + full-resolution tail — packed or dense
         if self.stream_impl == "packed":
@@ -273,6 +288,31 @@ class SAUNet(nn.Module):
         dec2, att2 = self.dec2([dec3, conv2u], train)
         return dec2, (att2, att3, att4, att5)
 
+    def _dualatt_decoder_packed(self, taps, p2: int, train: bool):
+        """The dual-attention trunk on the packed blocks. dec5-dec3 use
+        pack=1 (their outputs fill the lanes; only the attention
+        interiors pack); dec2 emits its 64-channel output packed at `p2`
+        — exactly the pack its consumer (the packed dec1) expects, so
+        the lane-padded dense dec2 tensor and the subsequent pack() pass
+        both disappear. Returns (dec2 packed, dense atts)."""
+        from ..ops.packed import unpack
+
+        conv2, conv3, conv4, conv5 = taps
+        conv2u = resize_bilinear(conv2,
+                                 (conv2.shape[1] * 2, conv2.shape[2] * 2))
+        conv3u = resize_bilinear(conv3,
+                                 (conv3.shape[1] * 2, conv3.shape[2] * 2))
+        conv4u = resize_bilinear(conv4,
+                                 (conv4.shape[1] * 2, conv4.shape[2] * 2))
+
+        center = self.center(max_pool_2x2(conv5), train)
+        dec5, att5 = self.dec5([center, conv5], 1, train)
+        dec4, att4 = self.dec4([dec5, conv4u], 1, train)
+        dec3, att3 = self.dec3([dec4, conv3u], 1, train)
+        dec2, att2 = self.dec2([dec3, conv2u], p2, train)
+        atts = tuple(unpack(a, 1) for a, _pc in (att2, att3, att4, att5))
+        return dec2, atts
+
     @staticmethod
     def _upsampled_atts(atts, gates):
         att2, att3, att4, att5 = atts
@@ -368,8 +408,8 @@ class SAUNet(nn.Module):
         acts = nn.sigmoid(edge_p.astype(dt) * kcw[0, 0] + canny_p * kcw[1, 0])
         edge = self.expand(acts, p1, p32, train)  # nf channels @ p32
 
-        dec2, atts = self._dualatt_decoder(taps, train)
-        dec1 = self.dec1(pack(dec2, p32 // 2), p32 // 2, train)
+        dec2, atts = self._dualatt_decoder_packed(taps, p32 // 2, train)
+        dec1 = self.dec1(dec2, p32 // 2, train)
         dec0 = self.dec0([(dec1, nf), (edge, nf)], p32, p32, train)
 
         # classifier head straight into the packed logits layout: the

@@ -179,6 +179,75 @@ def packed_conv3x3(xp, kernel, c_in, p, c_out=None, bias=None):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _sel_conv3x3_to_packed(p: int):
+    """S (p + 2, 3, p): S[kw, dw+1, po] = 1 where output pack-pixel po with
+    true w-offset dw in {-1, 0, 1} reads window column kw = po + dw + 1 of
+    a width-(p+2) stride-p window anchored one column left of the pack."""
+    s = np.zeros((p + 2, 3, p), dtype=np.float32)
+    for po in range(p):
+        for dw in (-1, 0, 1):
+            s[po + dw + 1, dw + 1, po] = 1.0
+    return s
+
+
+def conv3x3_dense_to_packed(x, kernel, p, c_out=None, bias=None):
+    """3x3 SAME conv from a DENSE (B, H, W, C_in) input straight into the
+    packed (B, H, W/P, P*C_out) layout — for channel-narrowing convs whose
+    dense output would lane-pad (C_out < 128) while the input is lane-full.
+
+    One (3, P+2)-window stride-(1, P) conv: the input is read ONCE (no
+    per-parity strided convs, no dense intermediate), the output is written
+    packed. Kernel taps beyond each output pixel's 3x3 support are exact
+    zeros; FLOPs grow by (P+2)/3 — idle MXU columns traded for the P-fold
+    cut in output-side HBM traffic, the same bargain as packed_conv3x3.
+
+    kernel: (3, 3, C_in, C_out) dense flax kernel. `x` may also be a
+    channel-split part list [(x_i, c_i), ...] of dense tensors (the
+    decoder's skip/up pair): conv(concat(parts)) is computed as the sum of
+    per-part convs with the kernel sliced along its input-channel axis, so
+    the concat tensor never reaches HBM either.
+    """
+    if isinstance(x, (list, tuple)):
+        out, off = None, 0
+        for xi, ci in x:
+            y = conv3x3_dense_to_packed(
+                xi, kernel[:, :, off:off + ci, :], p, c_out)
+            out = y if out is None else out + y
+            off += ci
+        assert off == kernel.shape[2], (off, kernel.shape)
+        if bias is not None:
+            out = out + jnp.tile(bias.astype(out.dtype), p)
+        return out
+    c_out = c_out if c_out is not None else kernel.shape[-1]
+    if p == 1:
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        assert x.shape[2] % p == 0, (x.shape, p)
+        dt = x.dtype
+        sel = jnp.asarray(_sel_conv3x3_to_packed(p), dt)  # (kw, dw, po)
+        wp = jnp.einsum("hdio,wdq->hwiqo", kernel.astype(dt), sel)
+        wp = wp.reshape(3, p + 2, kernel.shape[2], p * c_out)
+        out = jax.lax.conv_general_dilated(
+            x, wp, window_strides=(1, p), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), p)
+    return out
+
+
+def packed_channel_mean(xp, c):
+    """Per-true-channel global mean over (H, W) of a packed tensor:
+    (B, H, W/P, P*C) -> (B, C), f32 accumulation (the squeeze of an SE
+    block, computed without unpacking)."""
+    b, h, v, l = xp.shape
+    p = l // c
+    x32 = xp.astype(jnp.float32).reshape(b, h, v, p, c)
+    return jnp.mean(x32, axis=(1, 2, 3))
+
+
 def repack(xp, c, p_in, p_out):
     """Change pack factor only (channel count kept)."""
     if p_in == p_out:

@@ -190,8 +190,15 @@ def main():
             outs = [edge_out, conv2u, conv3u, conv4u, d]
             seq = [(m.dec5, conv5), (m.dec4, conv4u),
                    (m.dec3, conv3u), (m.dec2, conv2u)]
-            for blk, skip in seq[:n_stages]:
-                d, _ = blk([d, skip], t)
+            if STREAM == "packed":
+                from saunet_tpu.models.packed_stream import stream_packs
+                p2 = stream_packs(xx.shape[2])[32] // 2
+                packs = [1, 1, 1, p2]
+                for (blk, skip), pp in zip(seq[:n_stages], packs):
+                    d, _ = blk([d, skip], pp, t)
+            else:
+                for blk, skip in seq[:n_stages]:
+                    d, _ = blk([d, skip], t)
             outs.append(d)
             return outs
 
@@ -242,13 +249,7 @@ def main():
             pk = stream_packs(w)
             p1, p32 = pk[1], pk[32]
             nf, dt = m.num_filters, m.dtype
-            conv2, conv3, conv4, conv5 = taps
-            ups = [resize_bilinear(c, (c.shape[1] * 2, c.shape[2] * 2))
-                   for c in (conv2, conv3, conv4)]
-            d = m.center(max_pool_2x2(conv5), t)
-            for blk, skip in [(m.dec5, conv5), (m.dec4, ups[2]),
-                              (m.dec3, ups[1]), (m.dec2, ups[0])]:
-                d, _ = blk([d, skip], t)
+            d, _ = m._dualatt_decoder_packed(taps, p32 // 2, t)
             outs = [edge_p, d]
             if stage >= 1:
                 gray = image_to_gray255(xx)
@@ -261,7 +262,7 @@ def main():
                 edge = m.expand(acts, p1, p32, t)
                 outs.append(edge)
             if stage >= 2:
-                dec1 = m.dec1(pack(d, p32 // 2), p32 // 2, t)
+                dec1 = m.dec1(d, p32 // 2, t)
                 outs.append(dec1)
             if stage >= 3:
                 dec0 = m.dec0([(dec1, nf), (edge, nf)], p32, p32, t)
