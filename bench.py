@@ -42,7 +42,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     hw = int(os.environ.get("BENCH_HW", "224"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    mode = os.environ.get("BENCH_MODE", "train")  # train | infer
+    mode = os.environ.get("BENCH_MODE", "train")  # train | infer | eval
+    # fused Pallas encoder dispatch for infer/eval: auto (TPU bf16 on),
+    # 0 (off — measures the pure packed/XLA eval program), 1 (force on)
+    fused = {"auto": "auto", "0": False, "1": True}[
+        os.environ.get("BENCH_FUSED", "auto")]
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     augment = os.environ.get("BENCH_AUGMENT", "0") == "1"
     donate = os.environ.get("BENCH_DONATE", "0") == "1"
@@ -91,7 +95,7 @@ def main():
 
     flops = hbm_bytes = None
     if mode == "infer":
-        infer = make_infer_step(model)
+        infer = make_infer_step(model, fused_encoder=fused)
         _, preds, _ = infer(state, b["image"])
         sync(preds[0, 0, 0])
         flops, hbm_bytes = cost_analysis(infer, state, b["image"])
@@ -101,6 +105,21 @@ def main():
             for _ in range(steps):
                 _, preds, _ = infer(state, b["image"])
             sync(preds[0, 0, 0])
+            return time.perf_counter() - t0
+    elif mode == "eval":
+        # the val-epoch program: forward + dual loss + in-graph metrics
+        # (the reference's per-sample eval loop, /root/reference/train.py:25-64)
+        from saunet_tpu.train import make_eval_step
+        ev = make_eval_step(model, fused_encoder=fused)
+        _, _, m = ev(state, b)
+        sync(m["loss"])
+        flops, hbm_bytes = cost_analysis(ev, state, b)
+
+        def timed_run():
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                _, _, m = ev(state, b)
+            sync(m["loss"])
             return time.perf_counter() - t0
     else:
         augment_fn = None

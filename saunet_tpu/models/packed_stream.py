@@ -301,6 +301,11 @@ def chained_pack(w: int, c: int, base: int) -> int:
     """Largest multiple of `base` that divides `w` with c * pack <= 128.
     Keeps every pack in a module's interior an integer multiple of its
     input pack, so PConv1x1 repacks and broadcast_1ch stay exact."""
+    assert c * base <= 128, (
+        f"chained_pack: base pack {base} x {c} channels already exceeds "
+        f"the 128-lane invariant")
+    assert base >= 1 and w % base == 0, (
+        f"chained_pack: base pack {base} must divide width {w}")
     best = base
     p = base
     while True:
@@ -317,7 +322,13 @@ class PSEModule(nn.Module):
     (children fc1 / fc2). The squeeze is a strided-lane reduction on the
     packed tensor; the tiny 1x1 excitation convs run on the (B, 1, 1, C)
     squeezed vector exactly as in the dense module; the scale is applied
-    lane-tiled."""
+    lane-tiled.
+
+    Parity note: the squeeze accumulates in f32 (packed_channel_mean)
+    while the dense SEModule's jnp.mean reduces in the model dtype — a
+    deliberate divergence: under bfloat16 the packed squeeze is MORE
+    accurate, so packed==dense is bit-exact in f32 (what the parity tests
+    pin) but only near-equal in bf16."""
     channels: int
     reduction: int = 16
     dtype: Dtype = jnp.float32

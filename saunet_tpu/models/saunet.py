@@ -118,7 +118,13 @@ class SAUNet(nn.Module):
                                  act=act)
         if self.stream_impl == "packed":
             from .packed_stream import PDualAttBlock
-            self.dec5 = PDualAttBlock(512, c_in=1536, coarse_channels=512,
+            # dec5's coarse input is the center block's num_filters*16
+            # channels (1024 = the fixed DenseNet conv5 skip); deriving it
+            # keeps the packed param tree checkpoint-interchangeable with
+            # the dense one for any num_filters, not just the default 32
+            nf16 = self.num_filters * 16
+            self.dec5 = PDualAttBlock(512, c_in=nf16 + 1024,
+                                      coarse_channels=nf16,
                                       dtype=dt, act=act)
             self.dec4 = PDualAttBlock(256, c_in=1024, coarse_channels=512,
                                       dtype=dt, act=act)

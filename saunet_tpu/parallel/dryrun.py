@@ -36,11 +36,42 @@ import numpy as np
 REPO_ROOT = os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))))
 
+
+def host_feature_tag(cpuinfo_text: str | None = None) -> str:
+    """Short stable hash of this host's CPU ISA feature flags.
+
+    XLA:CPU persistent-cache artifacts embed the machine features they
+    were compiled for; loading one compiled on a different host logs
+    "Compile machine features ... vs host machine features ... could lead
+    to execution errors such as SIGILL" and can crash mid-gate (observed
+    in MULTICHIP_r03's tail). Keying the cache directory by the feature
+    set makes a foreign cache invisible — a host change degrades to a
+    cold recompile instead of a hazard."""
+    import hashlib
+    flags = ""
+    if cpuinfo_text is None:
+        try:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo_text = f.read()
+        except OSError:
+            import platform
+            cpuinfo_text = platform.machine() + " " + platform.processor()
+    for line in cpuinfo_text.splitlines():
+        if line.lower().startswith(("flags", "features")):
+            flags = " ".join(sorted(line.split(":", 1)[-1].split()))
+            break
+    else:
+        flags = cpuinfo_text.strip()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
 #: compile artifacts for locally-compiled CPU executables; kept separate
-#: from .jax_cache (TPU programs from the remote compiler). A warm cache
-#: makes re-runs near-instant; cold, the -O0 compile of the full SPMD step
+#: from .jax_cache (TPU programs from the remote compiler) and keyed by
+#: the host's ISA features (see host_feature_tag). A warm cache makes
+#: re-runs near-instant; cold, the -O0 compile of the full SPMD step
 #: takes ~10 min on one vCPU.
-CPU_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache_cpu")
+CPU_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache_cpu",
+                             host_feature_tag())
 
 
 def run_mesh_step(n_devices: int) -> float:

@@ -49,6 +49,28 @@ def test_scrubbed_env_removes_backend_knobs(monkeypatch):
             entry
 
 
+def test_cpu_cache_keyed_by_host_features():
+    """The persistent XLA:CPU cache must be keyed by the host's ISA
+    feature flags: artifacts AOT-compiled on a different machine must
+    land in (and be looked up from) a different directory, so a host
+    change degrades to a cold recompile instead of a possible SIGILL
+    (MULTICHIP_r03's tail logged exactly that hazard)."""
+    a = dryrun.host_feature_tag("flags\t: sse2 avx2 fma\n")
+    a_reordered = dryrun.host_feature_tag("flags\t: fma avx2 sse2\n")
+    b = dryrun.host_feature_tag("flags\t: sse2 avx512f fma\n")
+    assert a == a_reordered  # stable under flag ordering
+    assert a != b            # different ISA -> different cache key
+    # arm-style cpuinfo uses "Features"
+    assert dryrun.host_feature_tag("Features\t: fp asimd\n") != a
+    # the live cache dir is nested under .jax_cache_cpu by this host's tag
+    parent, tag = os.path.split(dryrun.CPU_CACHE_DIR)
+    assert os.path.basename(parent) == ".jax_cache_cpu"
+    assert tag == dryrun.host_feature_tag()
+    # and both the child env and the in-child config point at it
+    assert dryrun.scrubbed_env(8)["JAX_COMPILATION_CACHE_DIR"] == \
+        dryrun.CPU_CACHE_DIR
+
+
 def test_scrubbed_child_sees_cpu_platform_only():
     """A child launched with the scrubbed env must come up as a pure
     n-device CPU platform even though THIS process has a live backend."""

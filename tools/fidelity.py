@@ -31,15 +31,19 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _iou(preds: np.ndarray, labels: np.ndarray, num_class: int = 4):
+def _iou(preds: np.ndarray, labels: np.ndarray, num_class: int = 4,
+         per_class: bool = False):
     """Mean IoU over foreground classes 1..C-1 (the reference's in-train
-    metric, /root/reference/train.py:58-63)."""
+    metric, /root/reference/train.py:58-63). With per_class=True also
+    returns the per-class list — the instrument for attributing mid-run
+    mIoU transients (VERDICT r3 weak #7) to a specific structure."""
     ious = []
     for c in range(1, num_class):
         inter = np.sum((preds == c) & (labels == c))
         union = np.sum((preds == c) | (labels == c))
-        ious.append(inter / union if union else 0.0)
-    return float(np.mean(ious))
+        ious.append(float(inter / union) if union else 0.0)
+    mean = float(np.mean(ious))
+    return (mean, ious) if per_class else mean
 
 
 def _edge_targets(labels: np.ndarray, num_class: int = 4) -> np.ndarray:
@@ -104,10 +108,12 @@ def run_jax(imgs, labs, edges, val_imgs, val_labs, steps, batch, lr,
                                    np.float32))}
                 _, p, _ = eval_step(state, vb)
                 preds.append(np.asarray(p))
-            iou = _iou(np.concatenate(preds), val_labs)
+            iou, iou_pc = _iou(np.concatenate(preds), val_labs,
+                               per_class=True)
             hist["step"].append(s)
             hist["loss"].append(float(metrics["loss"]))
             hist["iou"].append(iou)
+            hist.setdefault("iou_pc", []).append(iou_pc)
     return hist
 
 
@@ -153,10 +159,12 @@ def run_torch(imgs, labs, edges, val_imgs, val_labs, steps, batch, lr,
                     seg, _ = model(torch.from_numpy(vimg3[i:i + batch]))
                     preds.append(seg.argmax(1).numpy())
             model.train()
-            iou = _iou(np.concatenate(preds), val_labs)
+            iou, iou_pc = _iou(np.concatenate(preds), val_labs,
+                               per_class=True)
             hist["step"].append(s)
             hist["loss"].append(float(loss))
             hist["iou"].append(iou)
+            hist.setdefault("iou_pc", []).append(iou_pc)
     return hist
 
 
@@ -366,12 +374,21 @@ def write_report(result, out_md, out_json, plot_path=None, det=None):
         "",
         f"Config: {json.dumps(result['config'])}",
         "",
-        "| step | jax loss | torch loss | jax mIoU | torch mIoU |",
-        "|---|---|---|---|---|",
     ]
+    pc = "iou_pc" in jx
+    if pc:
+        lines += ["| step | jax loss | torch loss | jax mIoU | torch mIoU "
+                  "| jax per-class (RV/Myo/LV) |",
+                  "|---|---|---|---|---|---|"]
+    else:
+        lines += ["| step | jax loss | torch loss | jax mIoU | torch mIoU |",
+                  "|---|---|---|---|---|"]
     for i, s in enumerate(jx["step"]):
-        lines.append(f"| {s} | {jx['loss'][i]:.4f} | {th['loss'][i]:.4f} "
-                     f"| {jx['iou'][i]:.4f} | {th['iou'][i]:.4f} |")
+        row = (f"| {s} | {jx['loss'][i]:.4f} | {th['loss'][i]:.4f} "
+               f"| {jx['iou'][i]:.4f} | {th['iou'][i]:.4f} |")
+        if pc:
+            row += " " + "/".join(f"{v:.2f}" for v in jx["iou_pc"][i]) + " |"
+        lines.append(row)
     d = abs(jx["iou"][-1] - th["iou"][-1])
     lines += [
         "",

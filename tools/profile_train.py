@@ -192,7 +192,13 @@ def main():
                    (m.dec3, conv3u), (m.dec2, conv2u)]
             if STREAM == "packed":
                 from saunet_tpu.models.packed_stream import stream_packs
-                p2 = stream_packs(xx.shape[2])[32] // 2
+                pks = stream_packs(xx.shape[2])
+                if pks[32] % 2 != 0:  # mirror SAUNet._decode_packed's guard
+                    raise ValueError(
+                        f"packed decoder profiling needs a 2-divisible "
+                        f"32-channel pack; got width {xx.shape[2]} (packs "
+                        f"{pks}). Run with STREAM=xla for this geometry.")
+                p2 = pks[32] // 2
                 packs = [1, 1, 1, p2]
                 for (blk, skip), pp in zip(seq[:n_stages], packs):
                     d, _ = blk([d, skip], pp, t)
