@@ -245,11 +245,29 @@ def make_eval_step(model, num_class: int = 4,
     reference's test-branch softmax contract
     (/root/reference/models/models.py:96-102).
     """
-    fused = _use_fused_encoder(model, fused_encoder, mesh)
-    packed = (not fused
-              and getattr(model, "stream_impl", "xla") == "packed")
+    packed_model = getattr(model, "stream_impl", "xla") == "packed"
+
+    def _dispatch(images):
+        """Static per-trace dispatch (jit retraces per input shape).
+
+        Measured (v5e, r4): for packed models the fully-packed eval
+        program wins outright — 725.6 slices/sec vs 497.2 for
+        fused-encoder + dense loss at b64 @224² (the packed loss adds
+        ~0 ms on top of the packed forward, the dense dual loss pays
+        ~59 ms of lane-padded logits traffic). For non-packed models the
+        fused encoder helps at small maps but its banded fallback
+        collapses beyond ~256² (infer: 54.1 vs 134.0 slices/sec at 512²),
+        so auto gates it at 256."""
+        if fused_encoder == "auto":
+            fused = (not packed_model
+                     and _use_fused_encoder(model, "auto", mesh)
+                     and max(images.shape[1], images.shape[2]) <= 256)
+        else:
+            fused = _use_fused_encoder(model, fused_encoder, mesh)
+        return fused, (not fused and packed_model)
 
     def step_fn(state: TrainState, batch: dict):
+        fused, packed = _dispatch(batch["image"])
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         # optional (N,) validity mask: the driver pads the last val batch by
@@ -308,12 +326,25 @@ def make_infer_step(model, fused_encoder="auto", mesh=None,
     (test_and_pack exports argmax predictions only,
     /root/reference/test_and_pack.py:122-124); None is returned in its
     slot."""
-    fused = _use_fused_encoder(model, fused_encoder, mesh)
-    packed = (not fused
-              and getattr(model, "stream_impl", "xla") == "packed")
+    packed_model = getattr(model, "stream_impl", "xla") == "packed"
     num_class = getattr(model, "num_classes", 4)
 
+    def _dispatch(images):
+        """Static per-trace dispatch (jit retraces per input shape).
+
+        Measured (v5e, r4): the fused Pallas encoder wins inference at
+        224² (921.1 vs 726.2 slices/sec over the pure packed program)
+        but its banded halo'd fallback collapses at 512² (54.1 vs
+        134.0, 14% vs 70% HBM util) — auto gates it at <= 256²."""
+        if fused_encoder == "auto":
+            fused = (_use_fused_encoder(model, "auto", mesh)
+                     and max(images.shape[1], images.shape[2]) <= 256)
+        else:
+            fused = _use_fused_encoder(model, fused_encoder, mesh)
+        return fused, (not fused and packed_model)
+
     def step_fn(state: TrainState, images):
+        fused, packed = _dispatch(images)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         probs = edge = None
