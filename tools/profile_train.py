@@ -27,8 +27,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _enable_cache():
+    # Enabled only AFTER the CPU-side init (create_train_state
+    # init_on_cpu): CPU programs are compiled remotely here for a machine
+    # with ISA features this host lacks — caching/loading such a CPU
+    # executable logs AOT feature-mismatch errors and can SIGILL
+    # (bench.py applies the same ordering).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from saunet_tpu.models import SAUNet  # noqa: E402
 from saunet_tpu.train import create_train_state, make_train_step, radam  # noqa: E402
@@ -88,6 +94,7 @@ def main():
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                input_shape=(1, HW, HW, 3),
                                init_on_cpu=True)
+    _enable_cache()
     print(f"batch {B} @ {HW}²  concat={CONCAT} remat={REMAT} "
           f"stream={STREAM} device {jax.devices()[0].platform}")
 
