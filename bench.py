@@ -80,6 +80,7 @@ def main():
         """(flops, hbm bytes) per step from the compiled executable's cost
         model; None on backends/tunnels that don't expose it."""
         try:
+            jfn = getattr(jfn, "_jitted", jfn)  # make_train_step wrapper
             ca = jfn.lower(*args).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]

@@ -48,7 +48,8 @@ def timeit(name, fn, *args):
     dt = (time.perf_counter() - t0) / STEPS
     hbm = None
     try:
-        ca = fn.lower(*args).compile().cost_analysis()
+        lfn = getattr(fn, "_jitted", fn)  # make_train_step wrapper
+        ca = lfn.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         hbm = ca.get("bytes accessed")
@@ -144,9 +145,21 @@ def main():
     t_a = timeit("grad + RAdam + metrics", g_all, state, batch)
     t_s = timeit("full train step", step, state, batch,
                  jax.random.PRNGKey(1))
-    state2 = jax.tree.map(jnp.copy, state)
-    t_sd = timeit("full train step (donated)", step_d, state2, batch,
-                  jax.random.PRNGKey(1))
+
+    def run_donated():
+        # donated buffers are consumed per call — thread the state
+        s = jax.tree.map(jnp.copy, state)
+        rng = jax.random.PRNGKey(1)
+        s, m = step_d(s, batch, rng)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            s, m = step_d(s, batch, rng)
+        float(m["loss"])
+        return (time.perf_counter() - t0) / STEPS
+
+    t_sd = run_donated()
+    print(f"{'full train step (donated)':32s} {t_sd * 1e3:8.2f} ms")
     print(f"\nRAdam update: +{(t_r - t_g) * 1e3:.2f} ms   "
           f"metrics (argmax+pixel_acc): +{(t_m - t_g) * 1e3:.2f} ms   "
           f"both: +{(t_a - t_g) * 1e3:.2f} ms   "

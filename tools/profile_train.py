@@ -64,7 +64,8 @@ def timeit(name, fn, *args):
     dt = (time.perf_counter() - t0) / STEPS
     flops = hbm = None
     try:
-        ca = fn.lower(*args).compile().cost_analysis()
+        lfn = getattr(fn, "_jitted", fn)  # make_train_step wrapper
+        ca = lfn.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops, hbm = ca.get("flops"), ca.get("bytes accessed")
