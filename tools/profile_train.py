@@ -174,6 +174,71 @@ def main():
           f"decoder/edge/loss +{(t_full - t_ss) * 1e3:.1f} ms, "
           f"optimizer +{(t_step - t_full) * 1e3:.1f} ms")
 
+    if os.environ.get("PROF_SS", "0") == "1" and STREAM == "packed":
+        # --- packed shape-stream sub-stage attribution -------------------
+        from saunet_tpu.models.packed_stream import stream_packs
+        from saunet_tpu.ops.packed import resize_bilinear_packed
+
+        def make_ss_stage(n):
+            """enc + stream prefix: 0=d0+resize, 1=+res1, 2=+d1/c3/gate1,
+            3=+res2/d2/c4/gate2, 4=+res3/d3/c5/gate3, 5=+fuse."""
+            def run(m, xx, t):
+                taps = m.encoder(xx, t)[1:]
+                conv2, conv3, conv4, conv5 = taps
+                h, w = xx.shape[1], xx.shape[2]
+                pk = stream_packs(w)
+                p1 = pk[1]
+                outs = list(taps)
+                ss = resize_bilinear_packed(m.d0(conv2), (h, w), pk[64])
+                if n >= 1:
+                    ss = m.res1(ss, pk[64], t)
+                if n >= 2:
+                    ss = m.d1(ss, pk[64], pk[32])
+                    c3 = resize_bilinear_packed(m.c3(conv3), (h, w), p1)
+                    ss, _ = m.gate1(ss, c3, pk[32], p1, t)
+                if n >= 3:
+                    ss = m.res2(ss, pk[32], t)
+                    ss = m.d2(ss, pk[32], pk[16])
+                    c4 = resize_bilinear_packed(m.c4(conv4), (h, w), p1)
+                    ss, _ = m.gate2(ss, c4, pk[16], p1, t)
+                if n >= 4:
+                    ss = m.res3(ss, pk[16], t)
+                    ss = m.d3(ss, pk[16], pk[8])
+                    c5 = resize_bilinear_packed(m.c5(conv5), (h, w), p1)
+                    ss, _ = m.gate3(ss, c5, pk[8], p1, t)
+                if n >= 5:
+                    ss = m.fuse(ss, pk[8], p1)
+                outs.append(ss)
+                return outs
+
+            def loss(params, stats, images):
+                outs, mut = model.apply(
+                    {"params": params, "batch_stats": stats}, images, True,
+                    mutable=["batch_stats"], method=run)
+                l = sum(jnp.mean(o.astype(jnp.float32))
+                        for o in jax.tree.leaves(outs))
+                return l, mut["batch_stats"]
+
+            @jax.jit
+            def g(params, stats, images):
+                (l, _), grads = jax.value_and_grad(loss, has_aux=True)(
+                    params, stats, images)
+                return l, grads
+
+            return g
+
+        ss_names = ["d0+resize", "res1", "d1+c3+gate1", "res2+d2+c4+gate2",
+                    "res3+d3+c5+gate3", "fuse"]
+        prev = t_enc
+        print("\nshape-stream sub-stage deltas (cumulative fwd+bwd, on top "
+              "of encoder):")
+        for i, name in enumerate(ss_names):
+            t = timeit(f"grad: ..+{name}", make_ss_stage(i), p, s,
+                       batch["image"])
+            print(f"    {name:<18s} +{(t - prev) * 1e3:7.2f} ms")
+            prev = t
+        print(f"    {'sigmoid/rest':<18s} +{(t_ss - prev) * 1e3:7.2f} ms")
+
     if not DECODER:
         return
 
