@@ -151,7 +151,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
         # Output layout matters: returning (new_state, metrics-dict) makes
         # XLA's fusion heuristics pick a measurably worse schedule for the
         # SAME math — 299.8 ms vs 284.5 at b64/224² packed (bisected in
-        # tools/profile_opt_metrics.py, r4). Emit metrics first and the
+        # tools/exp_output_layout.py; decomposition in
+        # tools/profile_opt_metrics.py). Emit metrics first and the
         # state last; the public (state, metrics) API is repackaged
         # outside jit at zero cost.
         keys = tuple(sorted(metrics))
