@@ -18,6 +18,43 @@ import time
 import numpy as np
 
 
+def sanity_check(dt, steps, flops, hbm_bytes, peak_tflops, peak_gbps):
+    """Reject physically impossible timings (VERDICT r3 weak #1: BENCH_r03
+    published 1197% MFU from a broken sync). Returns a reason string if the
+    timing is impossible, else None."""
+    step_s = dt / steps
+    if dt <= 0:
+        return "non-positive wall time"
+    if flops and flops / step_s / (peak_tflops * 1e12) > 1.0:
+        return f"MFU>100% ({flops / step_s / (peak_tflops * 1e10):.0f}%)"
+    # "bytes accessed" overestimates true HBM traffic (fused/cached
+    # accesses are still counted — the augmented train step measures
+    # a reproducible 315 ms against a 384 ms naive bound), so flag
+    # only timings below HALF the cost-model bound: broken syncs miss
+    # by 40x (BENCH_r03), not 1.2x.
+    if hbm_bytes and step_s < hbm_bytes / (peak_gbps * 1e9) / 2:
+        return (f"step {step_s*1e3:.2f} ms under half the HBM bound "
+                f"{hbm_bytes / (peak_gbps * 1e6):.2f} ms")
+    return None
+
+
+def measure_with_retry(timed_run, check):
+    """Run the timing loop, retry ONCE if the sanity gate rejects it, and
+    exit(1) rather than publish a still-insane number."""
+    dt = timed_run()
+    problem = check(dt)
+    if problem:
+        print(f"bench: insane timing ({problem}); retrying once",
+              file=sys.stderr)
+        dt = timed_run()
+        problem = check(dt)
+        if problem:
+            print(f"bench: timing still insane after retry ({problem}); "
+                  "refusing to publish garbage", file=sys.stderr)
+            sys.exit(1)
+    return dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -147,37 +184,12 @@ def main():
             sync(metrics["loss"])
             return time.perf_counter() - t0
 
-    def sane(dt):
-        """Reject physically impossible timings (VERDICT r3 weak #1:
-        BENCH_r03 published 1197% MFU from a broken sync)."""
-        step_s = dt / steps
-        if dt <= 0:
-            return "non-positive wall time"
-        if flops and flops / step_s / (peak_tflops * 1e12) > 1.0:
-            return f"MFU>100% ({flops / step_s / (peak_tflops * 1e10):.0f}%)"
-        # "bytes accessed" overestimates true HBM traffic (fused/cached
-        # accesses are still counted — the augmented train step measures
-        # a reproducible 315 ms against a 384 ms naive bound), so flag
-        # only timings below HALF the cost-model bound: broken syncs miss
-        # by 40x (BENCH_r03), not 1.2x.
-        if hbm_bytes and step_s < hbm_bytes / (peak_gbps * 1e9) / 2:
-            return (f"step {step_s*1e3:.2f} ms under half the HBM bound "
-                    f"{hbm_bytes / (peak_gbps * 1e6):.2f} ms")
-        return None
-
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
     peak_gbps = float(os.environ.get("BENCH_PEAK_GBPS", "819"))
-    dt = timed_run()
-    problem = sane(dt)
-    if problem:
-        print(f"bench: insane timing ({problem}); retrying once",
-              file=sys.stderr)
-        dt = timed_run()
-        problem = sane(dt)
-        if problem:
-            print(f"bench: timing still insane after retry ({problem}); "
-                  "refusing to publish garbage", file=sys.stderr)
-            sys.exit(1)
+    dt = measure_with_retry(
+        timed_run,
+        lambda d: sanity_check(d, steps, flops, hbm_bytes,
+                               peak_tflops, peak_gbps))
 
     slices_per_sec = batch * steps / dt
 

@@ -46,7 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--result", default="./result")
     p.add_argument("--save_test_path", default="./test_files")
     p.add_argument("--attention_map", action="store_true",
-                   help="also export attention maps per volume")
+                   help="also export the decoder attention + shape-stream "
+                        "gate maps per volume as PNGs under "
+                        "<result>/<id>/attention/ (the reference parses "
+                        "this flag and fetches the maps but never saves "
+                        "them, /root/reference/test_and_pack.py:116-120)")
     p.add_argument("--z_bucket", default=4, type=int,
                    help="slice-batch bucket granularity (static shapes)")
     args = p.parse_args(argv)
@@ -66,6 +70,26 @@ def visualize_result(img2d: np.ndarray, pred2d: np.ndarray, out_path: str):
     pred = (pred2d * 85).astype(np.uint8)
     vis = np.concatenate([img, pred], axis=1)
     Image.fromarray(vis, mode="L").save(out_path)
+
+
+def save_attention_maps(atts, vol_name: str, z: int, out_dir: str):
+    """Export the decoder attention maps (att2..att5, upsampled) and the
+    three shape-stream gate maps as per-slice grayscale PNGs. Exceeds the
+    reference, whose --attention_map flag fetches `maps` and never writes
+    them (/root/reference/test_and_pack.py:116-120)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    names = ["att2", "att3", "att4", "att5", "gate1", "gate2", "gate3"]
+    for k, amap in enumerate(atts):
+        name = names[k] if k < len(names) else f"att{k}"
+        a = np.asarray(amap, np.float32)[:z, :, :, 0]
+        lo, hi = a.min(), a.max()
+        a8 = ((a - lo) / (hi - lo) * 255.0 if hi > lo
+              else np.zeros_like(a)).astype(np.uint8)
+        for zz in range(z):
+            Image.fromarray(a8[zz], mode="L").save(
+                os.path.join(out_dir, f"{vol_name}_{name}_z{zz}.png"))
 
 
 def main(argv=None):
@@ -94,7 +118,7 @@ def main(argv=None):
         mesh = make_mesh(space=1)
         n_dev = jax.device_count()
         args.z_bucket = ((args.z_bucket + n_dev - 1) // n_dev) * n_dev
-    infer = make_infer_step(model, mesh=mesh)
+    infer = make_infer_step(model, mesh=mesh, with_att=args.attention_map)
     prep = jax.jit(normalize_for_eval)
 
     ds = ACDCTestDataset(args.data_root,
@@ -115,7 +139,11 @@ def main(argv=None):
 
         tic = time.perf_counter()
         batch = prep(jnp.asarray(imgs))
-        probs, preds, edge = infer(state, batch)
+        atts = None
+        if args.attention_map:
+            probs, preds, edge, atts = infer(state, batch)
+        else:
+            probs, preds, edge = infer(state, batch)
         preds = np.asarray(jax.block_until_ready(preds))[:z]
         time_meter.update((time.perf_counter() - tic) / z, weight=z)
 
@@ -132,6 +160,10 @@ def main(argv=None):
                 visualize_result(
                     orig[:, :, zz], pv_resized[:, :, zz],
                     os.path.join(args.result, f"{vol.name}{zz}.png"))
+
+        if atts is not None:
+            save_attention_maps(atts, vol.name, z,
+                                os.path.join(args.result, "attention"))
 
     with open(os.path.join(args.save_test_path, "timing.json"), "w") as f:
         json.dump({"ms_per_slice": float(time_meter.average() * 1e3)}, f)

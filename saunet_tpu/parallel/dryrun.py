@@ -28,6 +28,7 @@ rendezvous, /root/reference/lib/nn/modules/batchnorm.py:98-117).
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
 
@@ -61,7 +62,16 @@ def host_feature_tag(cpuinfo_text: str | None = None) -> str:
             flags = " ".join(sorted(line.split(":", 1)[-1].split()))
             break
     else:
-        flags = cpuinfo_text.strip()
+        # No flags/Features line (e.g. some aarch64 kernels): hash only
+        # stable identity lines — the full text contains volatile fields
+        # (cpu MHz, bogomips) that would churn the key between runs and
+        # silently discard the warm cache.
+        stable_prefixes = ("model name", "vendor", "cpu implementer",
+                           "cpu part", "cpu architecture", "hardware",
+                           "machine")
+        stable = sorted({ln.strip() for ln in cpuinfo_text.splitlines()
+                         if ln.lower().startswith(stable_prefixes)})
+        flags = "\n".join(stable) or cpuinfo_text.strip()
     return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 
@@ -158,9 +168,28 @@ def scrubbed_env(n_devices: int) -> dict:
     return env
 
 
+#: XLA:CPU's AOT loader compares the artifact's COMPILE-TIME feature string
+#: against the host's detected CPU features and errors per mismatch — but
+#: the compile string embeds compile-TUNING pseudo-features
+#: (+prefer-no-gather / +prefer-no-scatter) that host detection never
+#: reports, so loading an artifact this very host compiled seconds earlier
+#: still logs "could lead to execution errors such as SIGILL".
+#: Measured 2026-08-20 (round 5): rm -rf .jax_cache_cpu; cold run -> ZERO
+#: aot_loader lines, loss 16.2504; immediate warm re-run on the same host
+#: -> exactly two aot_loader lines, one per prefer-no-* pseudo-feature,
+#: same loss to all printed digits. The check is a same-host false
+#: positive for these two features, so ONLY lines blaming them are
+#: filtered from the gate's tail; a genuinely foreign artifact fails on
+#: REAL ISA features (+amx-fp16, +avx512...), whose lines pass through
+#: untouched. Pinned by tests/test_dryrun.py::test_aot_false_positive_filter.
+_AOT_FALSE_POSITIVE = re.compile(
+    r"cpu_aot_loader.*Target machine feature \+prefer-no-(gather|scatter) ")
+
+
 def run_subprocess(n_devices: int, timeout: float = 3000.0) -> None:
     """Re-exec the mesh step in a scrubbed child; stream its output and
-    raise if it fails."""
+    raise if it fails. Known-false-positive AOT loader lines (see
+    _AOT_FALSE_POSITIVE) are dropped from the stream."""
     proc = subprocess.Popen(
         [sys.executable, "-m", "saunet_tpu.parallel.dryrun", str(n_devices)],
         cwd=REPO_ROOT, env=scrubbed_env(n_devices),
@@ -169,6 +198,8 @@ def run_subprocess(n_devices: int, timeout: float = 3000.0) -> None:
     assert proc.stdout is not None
     try:
         for line in proc.stdout:
+            if _AOT_FALSE_POSITIVE.search(line):
+                continue
             sys.stdout.write(line)
             sys.stdout.flush()
             tail.append(line)

@@ -156,8 +156,12 @@ def make_train_step(model, tx: optax.GradientTransformation,
         # state last; the public (state, metrics) API is repackaged
         # outside jit at zero cost.
         keys = tuple(sorted(metrics))
-        metric_keys.clear()
-        metric_keys.extend(keys)  # trace-time capture for the wrapper
+        if metric_keys:
+            # A retrace (new shapes/dtypes) must emit the same metric set,
+            # or the wrapper's zip would silently mislabel the scalars.
+            assert tuple(metric_keys) == keys, (metric_keys, keys)
+        else:
+            metric_keys.extend(keys)  # trace-time capture for the wrapper
         return tuple(metrics[k] for k in keys) + (new_state,)
 
     metric_keys: list = []
@@ -334,7 +338,8 @@ def make_eval_step(model, num_class: int = 4,
 
 def make_infer_step(model, fused_encoder="auto", mesh=None,
                     interpret: bool = False,
-                    with_probs: bool = False, with_edge: bool = False):
+                    with_probs: bool = False, with_edge: bool = False,
+                    with_att: bool = False):
     """Jitted inference: (probs, preds, edge) from images only — the
     test_and_pack forward path, batched over z-slices. Pass `mesh` to run
     the fused Pallas encoder per-shard over the 'data' axis.
@@ -344,7 +349,16 @@ def make_infer_step(model, fused_encoder="auto", mesh=None,
     output is a 128-lane-padded full-res tensor that no driver consumes
     (test_and_pack exports argmax predictions only,
     /root/reference/test_and_pack.py:122-124); None is returned in its
-    slot."""
+    slot.
+
+    `with_att=True` returns a FOURTH element: the decoder attention +
+    shape-stream gate maps (`SAUNet.decode(return_att=True)` — the
+    reference's `model(..., attention_map=True)` surface,
+    /root/reference/models/models.py:96-102, which its own test driver
+    fetches and drops). The attention path needs the XLA shape stream's
+    gate maps, so the fused Pallas encoder composes with it (the stream is
+    XLA either way) but the mesh-sharded fused wrapper does not — with a
+    mesh the forward falls back to jit auto-sharding."""
     packed_model = getattr(model, "stream_impl", "xla") == "packed"
     num_class = getattr(model, "num_classes", 4)
 
@@ -367,6 +381,20 @@ def make_infer_step(model, fused_encoder="auto", mesh=None,
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         probs = edge = None
+        if with_att:
+            if fused and mesh is None:
+                seg, edge_full, atts = _fused_forward(
+                    model, state, images, return_att=True,
+                    interpret=interpret)
+            else:
+                seg, edge_full, atts = model.apply(
+                    variables, images, train=False, return_att=True)
+            preds = jnp.argmax(seg, axis=-1)
+            if with_probs:
+                probs = jax.nn.softmax(seg, axis=-1)
+            if with_edge:
+                edge = edge_full
+            return probs, preds, edge, atts
         if packed:
             from ..ops.packed import packed_argmax, unpack
             seg_p, edge_p = model.apply(variables, images, False,

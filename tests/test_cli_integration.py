@@ -91,3 +91,21 @@ def test_test_and_pack_cli(tmp_path):
     assert len(pngs) == 8  # 4 volumes x 2 slices
     # timing metadata recorded
     assert os.path.exists(os.path.join(out, "timing.json"))
+
+    # --attention_map exports the decoder attention + gate maps per volume
+    # (exceeds the reference: its flag fetches the maps and never saves
+    # them, /root/reference/test_and_pack.py:116-120)
+    out2 = str(tmp_path / "out2")
+    res2 = str(tmp_path / "res2")
+    pack_main([
+        "--id", "smoke", "--checkpoint", os.path.join(ckpt, run, state_file),
+        "--data-root", root, "--crop_size", "32", "--dtype", "float32",
+        "--save_test_path", out2, "--result", res2,
+        "--no-visualize", "--attention_map",
+    ])
+    att_dir = os.path.join(res2, "smoke", "attention")
+    att_pngs = [f for f in os.listdir(att_dir) if f.endswith(".png")]
+    # 4 volumes x 2 z-slices x 7 maps (att2..att5 + gate1..gate3)
+    assert len(att_pngs) == 4 * 2 * 7, sorted(att_pngs)[:10]
+    for name in ("att2", "att5", "gate1", "gate3"):
+        assert any(name in f for f in att_pngs)

@@ -96,6 +96,59 @@ def test_run_subprocess_from_initialized_parent():
     dryrun.run_subprocess(8)  # raises on failure
 
 
+def test_aot_false_positive_filter():
+    """Only the two known same-host false positives — XLA compile-TUNING
+    pseudo-features +prefer-no-gather/+prefer-no-scatter, which host CPU
+    detection never reports — may be dropped from the gate's tail; a
+    mismatch naming a REAL ISA feature (a genuinely foreign artifact)
+    must pass through. Origin experiment (r5): cold run after
+    rm -rf .jax_cache_cpu logs ZERO aot lines; the same-host warm re-run
+    logs exactly these two, with identical loss."""
+    fp = ("E0820 22:48:18.781456 6960 cpu_aot_loader.cc:210] Loading "
+          "XLA:CPU AOT result. Target machine feature +prefer-no-gather "
+          "is not  supported on the host machine. Machine type used for "
+          "XLA:CPU compilation doesn't match ... such as SIGILL.\n")
+    assert dryrun._AOT_FALSE_POSITIVE.search(fp)
+    assert dryrun._AOT_FALSE_POSITIVE.search(
+        fp.replace("prefer-no-gather", "prefer-no-scatter"))
+    # real ISA mismatches (foreign artifact) are NOT filtered
+    assert not dryrun._AOT_FALSE_POSITIVE.search(
+        fp.replace("prefer-no-gather", "amx-fp16"))
+    assert not dryrun._AOT_FALSE_POSITIVE.search(
+        fp.replace("prefer-no-gather", "avx512vp2intersect"))
+    # unrelated lines untouched
+    assert not dryrun._AOT_FALSE_POSITIVE.search(
+        "dryrun_multichip(8): mesh={'data': 4, 'space': 2} ok\n")
+
+
+def test_run_subprocess_filters_false_positive_lines(monkeypatch, capsys):
+    """End-to-end through run_subprocess: a child emitting one false
+    positive, one REAL mismatch, and the ok line must surface everything
+    except the false positive."""
+    import subprocess as sp
+    orig_popen = sp.Popen
+    child = (
+        "import sys\n"
+        "print('E0101 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result. "
+        "Target machine feature +prefer-no-gather is not  supported on "
+        "the host machine. could lead to execution errors such as "
+        "SIGILL.')\n"
+        "print('E0101 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result. "
+        "Target machine feature +amx-fp16 is not  supported on the host "
+        "machine.')\n"
+        "print('dryrun ok')\n")
+
+    def fake_popen(cmd, **kw):
+        return orig_popen([sys.executable, "-c", child], **kw)
+
+    monkeypatch.setattr(sp, "Popen", fake_popen)
+    dryrun.run_subprocess(8)
+    out = capsys.readouterr().out
+    assert "prefer-no-gather" not in out
+    assert "+amx-fp16" in out      # real mismatches still surface
+    assert "dryrun ok" in out
+
+
 def test_run_subprocess_propagates_failure(monkeypatch):
     """rc != 0 in the child must surface as an exception with the tail —
     a gate that cannot fail is not a gate."""

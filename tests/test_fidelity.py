@@ -52,14 +52,15 @@ def test_convergence_matches_torch_baseline():
                  lr=1e-3, eval_every=40, verbose=False)
     jx, th = result["jax"], result["torch"]
 
-    # both frameworks must actually learn the task. The loss check is
-    # directional only: hist["loss"][0] is already the step-40 loss (first
-    # eval point, partially converged), so a fixed ratio there is brittle
-    # — the r3 exact-torch-Canny edge cue shifted torch's early trajectory
-    # enough to miss 0.6x by 2.5% while mIoU climbed 0.46 -> 0.81. The
-    # learning assertion is the IoU level.
-    assert jx["loss"][-1] < jx["loss"][0], jx
-    assert th["loss"][-1] < th["loss"][0], th
+    # both frameworks must actually learn the task. The loss gate is loose:
+    # hist["loss"][0] is already the step-40 loss (first eval point,
+    # partially converged), so a tight ratio there is brittle — the r3
+    # exact-torch-Canny edge cue shifted torch's early trajectory enough to
+    # miss 0.6x by 2.5% while mIoU climbed 0.46 -> 0.81. 0.9x keeps
+    # trajectory sensitivity without re-introducing that brittleness; the
+    # learning assertion proper is the IoU level.
+    assert jx["loss"][-1] < 0.9 * jx["loss"][0], jx
+    assert th["loss"][-1] < 0.9 * th["loss"][0], th
     assert jx["iou"][-1] > 0.5, jx
     assert th["iou"][-1] > 0.5, th
     # ... and to agreeing accuracy (inits differ; band covers seed noise)

@@ -383,7 +383,7 @@ def write_report(result, out_md, out_json, plot_path=None, det=None):
                 "|---|---|---|---|",
             ]
             n2 = len(d2["jax_loss"])
-            for i in list(range(0, n2, max(1, n2 // 5))) + [n2 - 1]:
+            for i in sorted(set(range(0, n2, max(1, n2 // 5))) | {n2 - 1}):
                 a2, b2 = d2["jax_loss"][i], d2["torch_loss"][i]
                 lines.append(f"| {i + 1} | {a2:.6f} | {b2:.6f} "
                              f"| {abs(a2 - b2) / abs(b2):.5f} |")
