@@ -98,14 +98,22 @@ class PConv3x3(nn.Module):
     `p`, channels in order summing to c_in): conv(concat(parts)) is
     computed as the sum of per-part convs with the kernel sliced along
     its input-channel axis, so the lane-interleaving concat never
-    happens."""
+    happens.
+
+    impl: 'block' = the (3, 3) block-placed kernel (P x the useful MACs);
+    'split' = mid/cross tap split (2/3 the MACs, one extra materialised
+    shift tensor — ops/packed.py::packed_conv3x3_split). Same math."""
     features: int
     c_in: int
     use_bias: bool = False
     kernel_init: Callable = kaiming_normal_out
+    impl: str = "block"
 
     @nn.compact
     def __call__(self, x, p: int):
+        from ..ops.packed import packed_conv3x3_split
+        conv = (packed_conv3x3_split
+                if self.impl == "split" and p >= 2 else packed_conv3x3)
         kernel = self.param("kernel", self.kernel_init,
                             (3, 3, self.c_in, self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros,
@@ -114,13 +122,13 @@ class PConv3x3(nn.Module):
         if isinstance(x, (list, tuple)):
             out, off = None, 0
             for xp, c in x:
-                y = packed_conv3x3(xp, kernel[:, :, off:off + c, :], c, p,
-                                   self.features)
+                y = conv(xp, kernel[:, :, off:off + c, :], c, p,
+                         self.features)
                 out = y if out is None else out + y
                 off += c
             assert off == self.c_in, (off, self.c_in)
         else:
-            out = packed_conv3x3(x, kernel, self.c_in, p, self.features)
+            out = conv(x, kernel, self.c_in, p, self.features)
         if bias is not None:
             out = out + jnp.tile(bias.astype(out.dtype), p)
         return out
@@ -196,11 +204,14 @@ class PResBasicBlock(nn.Module):
     planes: int
     dtype: Dtype = jnp.float32
     act: Callable = nn.relu
+    conv_impl: str = "block"  # PConv3x3.impl for both convs
 
     def setup(self):
-        self.conv1 = PConv3x3(self.planes, self.planes, use_bias=False)
+        self.conv1 = PConv3x3(self.planes, self.planes, use_bias=False,
+                              impl=self.conv_impl)
         self.bn1 = PBatchNorm(self.planes)
-        self.conv2 = PConv3x3(self.planes, self.planes, use_bias=False)
+        self.conv2 = PConv3x3(self.planes, self.planes, use_bias=False,
+                              impl=self.conv_impl)
         self.bn2 = PBatchNorm(self.planes)
 
     def __call__(self, xp, p: int, train: bool = True):

@@ -180,6 +180,70 @@ def packed_conv3x3(xp, kernel, c_in, p, c_out=None, bias=None):
 
 
 @functools.lru_cache(maxsize=None)
+def _sel_conv3x3_mid(p: int):
+    """M (3, P, P): the intra-column taps of _sel_conv3x3 — M[dw+1, pi, po]
+    = 1 where output pack-pixel po reads input pack-pixel pi = po + dw of
+    the SAME packed column (0 <= pi < p)."""
+    m = np.zeros((3, p, p), dtype=np.float32)
+    for po in range(p):
+        for dw in (-1, 0, 1):
+            pi = po + dw
+            if 0 <= pi < p:
+                m[dw + 1, pi, po] = 1.0
+    return m
+
+
+def packed_conv3x3_split(xp, kernel, c_in, p, c_out=None, bias=None):
+    """packed_conv3x3 with the cross-column taps split out — same math,
+    2/3 the MAC count (VERDICT r4 task #3, the stream-res1 lever).
+
+    The standard lowering's (3, 3, P*C, P*C) block-placed kernel performs
+    P x the useful MACs (each window column's 128x128 matmul is 1/P
+    non-zero blocks averaged over the 3 columns). Splitting by tap
+    locality:
+
+      * mid: taps whose input pixel lies in the SAME packed column
+        (pi = po + dw in range) — a (3, 1)-window conv whose middle
+        128x128 kernel is maximally dense;
+      * cross: only the two pack-EDGE taps leave the column (po=0 needs
+        true pixel p*v-1; po=p-1 needs p*v+p). ONE shifted companion
+        tensor xs[v] = (last pixel of column v-1, first pixel of column
+        v+1) — (B, H, V, 2*C), full-lane at P*C=128 — feeds a
+        (3, 1)-window conv with a 2-block kernel.
+
+    MACs per output column: 3*(P*C)^2 + 3*(2C)*(P*C) vs the standard
+    9*(P*C)^2 — for P=2 exactly 2/3. The price is materialising xs
+    (one extra full-res packed read+write). Only legal for P >= 2."""
+    c_out = c_out if c_out is not None else kernel.shape[-1]
+    assert p >= 2, p
+    dt = xp.dtype
+    k = kernel.astype(dt)
+    # mid: intra-column taps, (3, 1) window over (H, packed columns)
+    mid = jnp.asarray(_sel_conv3x3_mid(p), dt)  # (dw, pi, po)
+    wmid = jnp.einsum("hdio,dpq->hpiqo", k, mid)
+    wmid = wmid.reshape(3, 1, p * c_in, p * c_out)
+    out = jax.lax.conv_general_dilated(
+        xp, wmid, window_strides=(1, 1), padding=((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # cross: pack-edge taps via the shifted companion tensor
+    left = jnp.pad(xp[:, :, :-1, (p - 1) * c_in:],
+                   ((0, 0), (0, 0), (1, 0), (0, 0)))   # true pixel p*v - 1
+    right = jnp.pad(xp[:, :, 1:, :c_in],
+                    ((0, 0), (0, 0), (0, 1), (0, 0)))  # true pixel p*v + p
+    xs = jnp.concatenate([left, right], axis=-1)       # (B, H, V, 2*C_in)
+    wcross = jnp.zeros((3, 1, 2 * c_in, p, c_out), dt)
+    wcross = wcross.at[:, 0, :c_in, 0, :].set(k[:, 0])        # dw=-1 -> po=0
+    wcross = wcross.at[:, 0, c_in:, p - 1, :].set(k[:, 2])    # dw=+1 -> po=P-1
+    out = out + jax.lax.conv_general_dilated(
+        xs, wcross.reshape(3, 1, 2 * c_in, p * c_out),
+        window_strides=(1, 1), padding=((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(dt), p)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _sel_conv3x3_to_packed(p: int):
     """S (p + 2, 3, p): S[kw, dw+1, po] = 1 where output pack-pixel po with
     true w-offset dw in {-1, 0, 1} reads window column kw = po + dw + 1 of
