@@ -243,6 +243,51 @@ def _fused_forward_sharded(model, state, images, mesh, axis: str = "data",
     )(state.params, state.batch_stats, images)
 
 
+def _fused_forward_packed(model, state, images, interpret: bool = False):
+    """Fused Pallas encoder -> lane-packed decode: (seg_p, edge_p).
+
+    The best-of-both eval forward for packed models (VERDICT r4 task #1,
+    measured in tools/profile_infer_seg.py / KERNELS.md §10): the fused
+    encoder saves ~18 ms over the XLA eval encoder while the packed tail
+    keeps the dense 128-lane-padded logits out of HBM — eval step 87.3 ->
+    70.7 ms at b64 @224² (+23%). For INFERENCE the same composition
+    measures 70.3 vs the shipping dense-unpack tail's 68.9 ms — XLA
+    already fuses the unpack+argmax, so infer keeps the dense tail."""
+    from ..models.fused_encoder import encoder_apply_fused
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    _, f2, f3, f4, f5 = encoder_apply_fused(
+        state.params["encoder"], state.batch_stats["encoder"], images,
+        dtype=model.dtype, interpret=interpret)
+    seg_p, edge_p, _, _ = model.apply(variables, (f2, f3, f4, f5), images,
+                                      False, method="_decode_packed")
+    return seg_p, edge_p
+
+
+def _fused_forward_packed_sharded(model, state, images, mesh,
+                                  axis: str = "data",
+                                  interpret: bool = False):
+    """_fused_forward_packed per-shard over the `axis` mesh dimension
+    (same contract as _fused_forward_sharded: eval has no cross-batch
+    math, so shards are independent)."""
+    from collections import namedtuple
+
+    from jax.sharding import PartitionSpec as P
+
+    View = namedtuple("View", ["params", "batch_stats"])
+
+    def fwd(params, stats, imgs):
+        return _fused_forward_packed(model, View(params, stats), imgs,
+                                     interpret=interpret)
+
+    return jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )(state.params, state.batch_stats, images)
+
+
 def make_eval_step(model, num_class: int = 4,
                    class_weights=DEFAULT_CLASS_WEIGHTS,
                    fused_encoder="auto", mesh=None,
@@ -273,21 +318,21 @@ def make_eval_step(model, num_class: int = 4,
     def _dispatch(images):
         """Static per-trace dispatch (jit retraces per input shape).
 
-        Measured (v5e, r4): for packed models the fully-packed eval
-        program wins outright — 725.6 slices/sec vs 497.2 for
-        fused-encoder + dense loss at b64 @224² (the packed loss adds
-        ~0 ms on top of the packed forward, the dense dual loss pays
-        ~59 ms of lane-padded logits traffic). For non-packed models the
-        fused encoder helps at small maps but its banded fallback
-        collapses beyond ~256² (infer: 54.1 vs 134.0 slices/sec at 512²),
-        so auto gates it at 256."""
+        Measured (v5e): for packed models the winning eval program is the
+        fused Pallas encoder feeding the PACKED decode + packed loss —
+        87.3 -> 70.7 ms at b64 @224² vs the fully-packed XLA program
+        (r5, tools/profile_infer_seg.py; KERNELS.md §10). The r4
+        fused-encoder eval was slower (497.2 vs 725.6 slices/sec) only
+        because it paid ~59 ms of lane-padded dense dual-loss logits;
+        the packed tail removes that. The fused encoder's banded
+        fallback still collapses beyond ~256² (infer: 54.1 vs 134.0
+        slices/sec at 512²), so auto gates it at 256."""
         if fused_encoder == "auto":
-            fused = (not packed_model
-                     and _use_fused_encoder(model, "auto", mesh)
+            fused = (_use_fused_encoder(model, "auto", mesh)
                      and max(images.shape[1], images.shape[2]) <= 256)
         else:
             fused = _use_fused_encoder(model, fused_encoder, mesh)
-        return fused, (not fused and packed_model)
+        return fused, packed_model
 
     def step_fn(state: TrainState, batch: dict):
         fused, packed = _dispatch(batch["image"])
@@ -300,8 +345,16 @@ def make_eval_step(model, num_class: int = 4,
         probs = None
         if packed:
             from ..ops.packed import packed_argmax, unpack
-            seg_p, edge_p = model.apply(variables, batch["image"], False,
-                                        method="train_outputs")
+            if fused and mesh is not None:
+                seg_p, edge_p = _fused_forward_packed_sharded(
+                    model, state, batch["image"], mesh,
+                    interpret=interpret)
+            elif fused:
+                seg_p, edge_p = _fused_forward_packed(
+                    model, state, batch["image"], interpret=interpret)
+            else:
+                seg_p, edge_p = model.apply(variables, batch["image"],
+                                            False, method="train_outputs")
             total, parts = dual_loss_packed(
                 seg_p, edge_p, batch["label"], batch["edge"],
                 num_classes=num_class, class_weights=class_weights,
@@ -368,7 +421,12 @@ def make_infer_step(model, fused_encoder="auto", mesh=None,
         Measured (v5e, r4): the fused Pallas encoder wins inference at
         224² (921.1 vs 726.2 slices/sec over the pure packed program)
         but its banded halo'd fallback collapses at 512² (54.1 vs
-        134.0, 14% vs 70% HBM util) — auto gates it at <= 256²."""
+        134.0, 14% vs 70% HBM util) — auto gates it at <= 256².
+        The fused path keeps the DENSE unpack+argmax tail: swapping in
+        the packed decode + packed_argmax measures 70.3 vs 68.9 ms
+        (r5, tools/profile_infer_seg.py) — XLA fuses the unpack into
+        the argmax, so the dense tail is already free and the eval
+        step's packed-tail win does not transfer here."""
         if fused_encoder == "auto":
             fused = (_use_fused_encoder(model, "auto", mesh)
                      and max(images.shape[1], images.shape[2]) <= 256)

@@ -73,6 +73,34 @@ def test_eval_step_probs_gated_off_by_default():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_fused_packed_eval_matches_packed_eval():
+    """The r5 winning eval program — fused Pallas encoder feeding the
+    packed decode + packed loss (measured 87.3 -> 70.7 ms b64 @224² on
+    v5e, KERNELS.md §10) — must agree with the fully-packed XLA program
+    under identical parameters (interpret-mode kernels on CPU)."""
+    xla, packed, s_x, s_p, batch = _setup()
+    ev_ref = make_eval_step(packed, fused_encoder=False)
+    ev_fused = make_eval_step(packed, fused_encoder=True, interpret=True)
+    _, preds_r, m_r = ev_ref(s_p, batch)
+    _, preds_f, m_f = ev_fused(s_p, batch)
+    # the fused kernels compute the dense blocks in bf16; at random init
+    # the eval decoder amplifies that rounding chaotically (same envelope
+    # as test_fused_shard_map.py::test_sharded_fused_matches_xla_forward:
+    # >0.8 agreement at init, 97.2% measured at trained weights), so
+    # losses on the chaotic logits agree only loosely while the bounded
+    # pixel metrics track the prediction agreement
+    assert (np.asarray(preds_f) == np.asarray(preds_r)).mean() > 0.8
+    for k in m_r:
+        a = np.asarray(m_f[k], np.float64)
+        b = np.asarray(m_r[k], np.float64)
+        assert np.isfinite(a).all() and np.isfinite(b).all(), k
+        if k in ("acc", "jaccard"):  # bounded [0,1] pixel metrics
+            assert np.abs(a - b).max() < 0.1, (k, a, b)
+        else:  # losses on the chaotic logits: loose relative band
+            rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-6)
+            assert rel.max() < 0.25, (k, a, b)
+
+
 def test_packed_infer_step_matches_dense():
     xla, packed, s_x, s_p, batch = _setup()
     inf_x = make_infer_step(xla, fused_encoder=False, with_probs=True,
