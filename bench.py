@@ -132,7 +132,33 @@ def main():
         return float(jnp.asarray(x, dtype=jnp.float32).sum())
 
     flops = hbm_bytes = None
-    if mode == "infer":
+    if mode == "saliency":
+        # driver config #4 (interpretability): SmoothGrad over n noisy
+        # guided backprops, vmapped into device batches — the reference
+        # runs the same workload as n sequential hooked forward+backward
+        # passes (/root/reference/smoothgrad.py:18-45)
+        from saunet_tpu.interpret.saliency import (guided_model,
+                                                   smooth_grad,
+                                                   vanilla_gradients)
+        n_noisy = int(os.environ.get("BENCH_SG_N", "50"))
+        sg_batch = int(os.environ.get("BENCH_SG_BATCH", "10"))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        gmodel = guided_model(model)
+        image, target = b["image"][0], b["label"][0]
+        gf = jax.jit(
+            lambda img: vanilla_gradients(gmodel, variables, img, target))
+        out = smooth_grad(gf, rng, image, n=n_noisy, batch_size=sg_batch)
+        sync(out[0, 0])
+
+        def timed_run():
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = smooth_grad(gf, rng, image, n=n_noisy,
+                                  batch_size=sg_batch)
+            sync(out[0, 0])
+            return time.perf_counter() - t0
+    elif mode == "infer":
         infer = make_infer_step(model, fused_encoder=fused)
         _, preds, _ = infer(state, b["image"])
         sync(preds[0, 0, 0])
@@ -191,7 +217,7 @@ def main():
         lambda d: sanity_check(d, steps, flops, hbm_bytes,
                                peak_tflops, peak_gbps))
 
-    slices_per_sec = batch * steps / dt
+    slices_per_sec = (steps if mode == "saliency" else batch * steps) / dt
 
     # Roofline placement (the honest perf claim — VERDICT r1 §weak 1):
     # MFU against the chip's peak matmul throughput and achieved HBM
@@ -208,7 +234,9 @@ def main():
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "baseline_torch.json")
     vs_baseline = 1.0
-    if os.path.exists(baseline_path):
+    if mode == "saliency":
+        pass  # no torch saliency baseline measured; vs_baseline stays 1.0
+    elif os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
         ref = base.get("train_slices_per_sec")
@@ -219,10 +247,14 @@ def main():
               file=sys.stderr)
 
     tag = f"{mode}+aug" if (mode == "train" and augment) else mode
+    if mode == "saliency":
+        tag = f"SmoothGrad-{os.environ.get('BENCH_SG_N', '50')} guided"
+    unit = "maps/sec" if mode == "saliency" else "slices/sec/chip"
     out = {
-        "metric": f"SAUNet {tag} slices/sec/chip @{hw}² bf16 batch {batch}",
+        "metric": f"SAUNet {tag} {unit} @{hw}² bf16"
+                  + ("" if mode == "saliency" else f" batch {batch}"),
         "value": round(slices_per_sec, 2),
-        "unit": "slices/sec/chip",
+        "unit": unit,
         "vs_baseline": round(vs_baseline, 2),
         "step_ms": round(step_s * 1e3, 2),
         "mfu_pct": mfu_pct,
