@@ -169,6 +169,12 @@ class SAUNet(nn.Module):
                                  kernel_init=kaiming_normal_out, dtype=dt)
 
     def _canny(self, gray):
+        # Gradient must stop BEFORE the kernel, not at its output: saliency
+        # differentiates w.r.t. the image, and an unknown input tangent
+        # entering pallas_call (no autodiff rule) fails linearization even
+        # when the output feeds stop_gradient. The reference's cv2 Canny is
+        # equally gradient-opaque (train.py edge prior is numpy data).
+        gray = jax.lax.stop_gradient(gray)
         # The fused whole-image kernel holds ~18 live (H, W) f32 buffers in
         # VMEM; above ~220k pixels (448²) it exceeds the ~16 MiB budget and
         # the row-tiled kernel (halo'd DMA bands, bit-identical output)

@@ -5,6 +5,7 @@ On real hardware Mosaic's fp contraction flips ~0.2% of pixels at the
 threshold comparisons — bit-exactness is an interpret-mode property."""
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from saunet_tpu.ops.edge import canny_edges, image_to_gray255
@@ -74,3 +75,22 @@ def test_image_to_gray255_range():
     g = np.asarray(image_to_gray255(x))
     assert g.shape == (2, 16, 16, 1)
     assert g.min() >= 0 and abs(g.max() - 255.0) < 1e-3
+
+
+def test_grad_linearizes_past_stopped_pallas_canny():
+    """Saliency differentiates w.r.t. the image, whose tangent reaches the
+    canny subgraph. pallas_call has no autodiff rule, and a stop_gradient
+    at the kernel's OUTPUT is not enough — linearization already fails at
+    the call. The model stops the gradient at the kernel's INPUT
+    (models/saunet.py::_canny); this pins the op-level pattern."""
+    rs = np.random.RandomState(1)
+    img = jnp.asarray(rs.rand(1, 32, 32, 3).astype(np.float32))
+
+    def f(im):
+        gray = image_to_gray255(im)
+        edges = canny_edges_pallas(jax.lax.stop_gradient(gray),
+                                   interpret=True)
+        return jnp.sum(im * 2.0) + edges.astype(im.dtype).sum()
+
+    g = jax.grad(f)(img)  # must not raise "Linearization failed"
+    np.testing.assert_allclose(np.asarray(g), 2.0)

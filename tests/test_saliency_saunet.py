@@ -46,3 +46,16 @@ def test_smoothgrad_on_model(model_vars):
     sg = smooth_grad(grad_fn, jax.random.PRNGKey(0), img, n=4, batch_size=2)
     assert sg.shape == img.shape
     assert np.isfinite(np.asarray(sg)).all()
+
+
+def test_canny_prior_is_gradient_opaque(model_vars):
+    """The edge prior must stop the gradient at the canny INPUT: on TPU the
+    canny is a pallas_call with no autodiff rule, and saliency's grad
+    w.r.t. the image fails linearization if the image tangent enters the
+    kernel (BENCH_MODE=saliency r5 failure). Backend-independent pin: the
+    gradient of the canny prior w.r.t. its input is exactly zero."""
+    model, _ = model_vars
+    rs = np.random.RandomState(3)
+    gray = jnp.asarray(rs.rand(1, 32, 32, 1).astype(np.float32) * 255.0)
+    g = jax.grad(lambda gg: jnp.sum(model._canny(gg)))(gray)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
